@@ -1,0 +1,210 @@
+"""Log-mel spectrogram frontend.
+
+Semantics match the reference (mel_spectrogram.cpp:484-628) and, transitively,
+HuggingFace's WhisperFeatureExtractor as used by Qwen3-ASR:
+
+  reflect-pad n_fft/2 each side -> Hann(400, periodic) window, hop 160
+  -> real DFT power spectrum (201 bins) -> HTK mel filterbank (Slaney norm)
+  -> log10 -> global clamp to (max - 8) -> (x + 4) / 4
+
+The device path computes the DFT as two [N,400]x[400,201] matmuls (MXU) over
+all frames at once instead of the reference's per-frame host loop
+(mel_spectrogram.cpp:547-600), and fuses the window/power/filterbank/log into
+one jitted XLA program. `log_mel_spectrogram_ref` is a float64 numpy oracle
+used by the tests (mirrors the portable f64 path, mel_spectrogram.cpp:569-600).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE
+
+_LOG_FLOOR = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (host, numpy) — reference: mel_spectrogram.cpp:361-415
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel(hz):
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(mel):
+    return 700.0 * (np.power(10.0, np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def generate_mel_filters(
+    n_mels: int = N_MELS, n_fft: int = N_FFT, sample_rate: int = SAMPLE_RATE
+) -> np.ndarray:
+    """HTK-scale triangular filterbank with Slaney normalization.
+
+    Returns float32 [n_mels, n_fft//2 + 1].
+    """
+    n_bins = 1 + n_fft // 2
+    fmax = sample_rate / 2.0
+    mel_pts = np.linspace(_hz_to_mel(0.0), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    # float (fractional) FFT-bin positions, reference: mel_spectrogram.cpp:386-389
+    bin_pts = (n_fft + 1) * hz_pts / sample_rate
+
+    k = np.arange(n_bins, dtype=np.float64)[None, :]          # [1, n_bins]
+    left = bin_pts[:-2][:, None]                                # [n_mels, 1]
+    center = bin_pts[1:-1][:, None]
+    right = bin_pts[2:][:, None]
+
+    up = (k - left) / (center - left)
+    down = (right - k) / (right - center)
+    weights = np.where((k >= left) & (k <= center), up, 0.0)
+    weights = np.where((k >= center) & (k <= right), down, weights)
+    weights = np.maximum(weights, 0.0)
+
+    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def _hann_window(n_fft: int = N_FFT) -> np.ndarray:
+    """Periodic Hann window, float64 (reference: mel_spectrogram.cpp:50-55)."""
+    i = np.arange(n_fft, dtype=np.float64)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * i / n_fft))
+
+
+def reflect_pad(samples: np.ndarray, pad: int = N_FFT // 2) -> np.ndarray:
+    """Reflect padding with zero fill past the signal edge.
+
+    Matches the reference exactly (mel_spectrogram.cpp:492-515): mirror
+    without repeating the edge sample, but out-of-range reflections become 0
+    (numpy's mode='reflect' would raise for signals shorter than the pad).
+    """
+    n = len(samples)
+    out = np.zeros(n + 2 * pad, dtype=samples.dtype)
+    out[pad : pad + n] = samples
+    left_src = pad - np.arange(pad)           # samples[pad - i]
+    valid = left_src < n
+    out[:pad][valid] = samples[left_src[valid]]
+    right_src = n - 2 - np.arange(pad)        # samples[n - 2 - i]
+    valid = right_src >= 0
+    out[pad + n :][valid] = samples[right_src[valid]]
+    return out
+
+
+def num_mel_frames(n_samples: int) -> int:
+    """Number of output mel frames for a raw sample count.
+
+    total_frames - 1, with total_frames over the padded signal
+    (reference: mel_spectrogram.cpp:517-521).
+    """
+    padded = n_samples + 2 * (N_FFT // 2)
+    total = (padded - N_FFT) // HOP_LENGTH + 1
+    return total - 1
+
+
+# ---------------------------------------------------------------------------
+# Numpy float64 oracle — mirrors the reference portable path
+# ---------------------------------------------------------------------------
+
+def log_mel_spectrogram_ref(
+    samples: np.ndarray, filters: np.ndarray | None = None
+) -> np.ndarray:
+    """Float64 oracle. Returns float32 [n_mels, n_frames]."""
+    if filters is None:
+        filters = generate_mel_filters()
+    samples = np.asarray(samples, dtype=np.float32)
+    padded = reflect_pad(samples).astype(np.float64)
+    n_frames = num_mel_frames(len(samples))
+    if n_frames <= 0:
+        return np.zeros((filters.shape[0], 0), dtype=np.float32)
+
+    hann = _hann_window()
+    idx = np.arange(n_frames)[:, None] * HOP_LENGTH + np.arange(N_FFT)[None, :]
+    frames = padded[idx] * hann[None, :]                      # [N, 400] f64
+
+    k = np.arange(1 + N_FFT // 2, dtype=np.float64)
+    n = np.arange(N_FFT, dtype=np.float64)
+    angle = 2.0 * np.pi * np.outer(n, k) / N_FFT              # [400, 201]
+    re = frames @ np.cos(angle)
+    im = -(frames @ np.sin(angle))
+    power = re * re + im * im                                 # [N, 201]
+
+    mel = power @ filters.astype(np.float64).T                # [N, n_mels]
+    logmel = np.log10(np.maximum(mel, _LOG_FLOOR))
+
+    mmax = logmel.max() - 8.0
+    logmel = (np.maximum(logmel, mmax) + 4.0) / 4.0
+    return logmel.T.astype(np.float32)                        # [n_mels, N]
+
+
+# ---------------------------------------------------------------------------
+# JAX device path
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _dft_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hann[400], cos[400,201], sin[400,201]) as float32 host constants."""
+    k = np.arange(1 + N_FFT // 2, dtype=np.float64)
+    n = np.arange(N_FFT, dtype=np.float64)
+    angle = 2.0 * np.pi * np.outer(n, k) / N_FFT
+    return (
+        _hann_window().astype(np.float32),
+        np.cos(angle).astype(np.float32),
+        np.sin(angle).astype(np.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_device(padded, filters_t, n_frames: int):
+    hann, cos_t, sin_t = _dft_tables()
+    hann = jnp.asarray(hann)
+    idx = (
+        jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    )
+    frames = padded[idx] * hann[None, :]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, jnp.asarray(cos_t), precision=hi)
+    im = jnp.dot(frames, jnp.asarray(sin_t), precision=hi)
+    power = re * re + im * im
+    mel = jnp.dot(power, filters_t, precision=hi)
+    logmel = jnp.log10(jnp.maximum(mel, _LOG_FLOOR))
+    mmax = jnp.max(logmel) - 8.0
+    return (jnp.maximum(logmel, mmax) + 4.0) / 4.0            # [N, n_mels]
+
+
+def log_mel_spectrogram(
+    samples: np.ndarray, filters: np.ndarray | None = None, bucket: int = 0
+) -> np.ndarray:
+    """Device log-mel spectrogram. Returns float32 numpy [n_mels, n_frames].
+
+    `bucket`: optional frame-count rounding (pad-and-truncate) to bound the
+    number of compiled shapes when streaming many files; 0 = exact shape.
+    """
+    if filters is None:
+        filters = generate_mel_filters()
+    samples = np.asarray(samples, dtype=np.float32)
+    n_frames = num_mel_frames(len(samples))
+    if n_frames <= 0:
+        return np.zeros((filters.shape[0], 0), dtype=np.float32)
+
+    padded = reflect_pad(samples)
+    need = (n_frames - 1) * HOP_LENGTH + N_FFT
+    if bucket > 0:
+        padded_frames = -(-n_frames // bucket) * bucket
+        need_b = (padded_frames - 1) * HOP_LENGTH + N_FFT
+        buf = np.zeros(need_b, dtype=np.float32)
+        # copy only the samples the valid frames can see: frames past
+        # n_frames must be all-zero so they cannot perturb the global max
+        # (the reference computes the max over n_len frames only,
+        # mel_spectrogram.cpp:603-612).
+        buf[: min(need, need_b)] = padded[: min(need, need_b)]
+        out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), padded_frames)
+        out = np.asarray(out)[:n_frames]
+    else:
+        out = np.asarray(
+            _mel_device(jnp.asarray(padded[:need]), jnp.asarray(filters.T), n_frames)
+        )
+    return out.T  # [n_mels, n_frames]

@@ -1,0 +1,335 @@
+"""Model parameter pytrees: GGUF -> JAX arrays in TPU-friendly layouts.
+
+Layout decisions (diverging from GGML on purpose):
+- all 2-D weights live as [in, out] so forward passes are `y = x @ W`
+  (GGUF stores ne=[in, out] which is numpy (out, in); we transpose once at
+  load time),
+- conv kernels stay OIHW (torch layout, as written by the converter —
+  convert_hf_to_gguf.py:267-275) for lax.conv_general_dilated,
+- per-layer weights are STACKED along a leading layer axis so the
+  transformer stack runs as one `lax.scan` (one compiled layer body instead
+  of n_layers unrolled copies),
+- the token embedding stays [vocab, hidden] (rows = token vectors); the tied
+  lm head is `h @ embd.T` (reference: text_decoder.cpp:264-266).
+
+Tensor names follow the reference converter (scripts/convert_hf_to_gguf.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import (
+    AlignerModelConfig,
+    ASRModelConfig,
+    AudioEncoderConfig,
+    DecoderConfig,
+    default_aligner_config,
+)
+from qwen3_asr_tpu.runtime.gguf import GGUFFile
+
+
+# ---------------------------------------------------------------------------
+# hparams from GGUF metadata (defaults per reference parse functions)
+# ---------------------------------------------------------------------------
+
+def _get(md: dict, key: str, default):
+    v = md.get(key, default)
+    return type(default)(v)
+
+
+def decoder_config_from_gguf(g: GGUFFile, classify: bool) -> DecoderConfig:
+    """Keys per text_decoder.cpp:116-147 / forced_aligner.cpp:158-172."""
+    md = g.metadata
+    vocab_default = 152064 if classify else 151936
+    return DecoderConfig(
+        vocab_size=_get(md, "qwen3-asr.vocab_size", vocab_default),
+        hidden_size=_get(md, "qwen3-asr.embedding_length", 1024),
+        n_layers=_get(md, "qwen3-asr.block_count", 28),
+        n_heads=_get(md, "qwen3-asr.attention.head_count", 16),
+        n_kv_heads=_get(md, "qwen3-asr.attention.head_count_kv", 8),
+        intermediate_size=_get(md, "qwen3-asr.feed_forward_length", 3072),
+        head_dim=_get(md, "qwen3-asr.attention.key_length", 128),
+        rms_norm_eps=_get(md, "qwen3-asr.attention.layer_norm_rms_epsilon", 1e-6),
+        rope_theta=_get(md, "qwen3-asr.rope.freq_base", 1000000.0),
+        audio_start_token_id=_get(md, "qwen3-asr.audio.start_token_id", 151669),
+        audio_end_token_id=_get(md, "qwen3-asr.audio.end_token_id", 151670),
+        audio_pad_token_id=_get(md, "qwen3-asr.audio.pad_token_id", 151676),
+        classify_num=_get(md, "qwen3-asr.classify_num", 5000) if classify else None,
+    )
+
+
+def encoder_config_from_gguf(
+    g: GGUFFile, output_dim: int, aligner: bool
+) -> AudioEncoderConfig:
+    """Keys per forced_aligner.cpp:151-156 (the ASR loader reads `audio.*`
+    keys the converter never writes, gguf_loader.cpp:69-85, so ASR encoder
+    hparams effectively come from defaults — we read the `qwen3-asr.audio.*`
+    keys the converter DOES write, with the same defaults either way)."""
+    md = g.metadata
+    d = default_aligner_config().encoder if aligner else AudioEncoderConfig()
+    return AudioEncoderConfig(
+        n_layers=_get(md, "qwen3-asr.audio.encoder.layer_count", d.n_layers),
+        d_model=_get(md, "qwen3-asr.audio.encoder.embedding_length", d.d_model),
+        n_heads=_get(md, "qwen3-asr.audio.encoder.attention.head_count", d.n_heads),
+        ffn_dim=_get(md, "qwen3-asr.audio.encoder.feed_forward_length", d.ffn_dim),
+        conv_channels=_get(md, "qwen3-asr.audio.conv_channels", d.conv_channels),
+        n_mel_bins=_get(md, "qwen3-asr.audio.num_mel_bins", d.n_mel_bins),
+        output_dim=output_dim,
+        n_window_infer=800 if aligner else None,
+    )
+
+
+def is_aligner_gguf(g: GGUFFile) -> bool:
+    """FA GGUFs carry classify metadata and/or a classify head tensor."""
+    if "qwen3-asr.classify_num" in g.metadata:
+        return True
+    return "classify_head.weight" in g.tensors
+
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+def _to_dev(a: np.ndarray, dtype) -> jax.Array:
+    return jnp.asarray(np.asarray(a), dtype=dtype)
+
+
+def _linear(g: GGUFFile, name: str, dtype) -> jax.Array:
+    """2-D GGUF weight -> [in, out] device array."""
+    return _to_dev(g.get(name).T, dtype)
+
+
+def _maybe(g: GGUFFile, name: str, dtype, transpose=False):
+    if name not in g.tensors:
+        return None
+    a = g.get(name)
+    return _to_dev(a.T if transpose else a, dtype)
+
+
+def load_encoder_params(g: GGUFFile, cfg: AudioEncoderConfig, dtype) -> dict:
+    p = "audio.encoder."
+
+    def stack_layers(suffix: str, transpose: bool) -> jax.Array:
+        mats = []
+        for i in range(cfg.n_layers):
+            a = g.get(f"{p}blk.{i}.{suffix}")
+            mats.append(a.T if transpose else a)
+        return _to_dev(np.stack(mats), dtype)
+
+    layers = {
+        "attn_norm_w": stack_layers("attn_norm.weight", False),
+        "attn_norm_b": stack_layers("attn_norm.bias", False),
+        "wq": stack_layers("attn_q.weight", True),
+        "bq": stack_layers("attn_q.bias", False),
+        "wk": stack_layers("attn_k.weight", True),
+        "bk": stack_layers("attn_k.bias", False),
+        "wv": stack_layers("attn_v.weight", True),
+        "bv": stack_layers("attn_v.bias", False),
+        "wo": stack_layers("attn_out.weight", True),
+        "bo": stack_layers("attn_out.bias", False),
+        "ffn_norm_w": stack_layers("ffn_norm.weight", False),
+        "ffn_norm_b": stack_layers("ffn_norm.bias", False),
+        "w_up": stack_layers("ffn_up.weight", True),
+        "b_up": stack_layers("ffn_up.bias", False),
+        "w_down": stack_layers("ffn_down.weight", True),
+        "b_down": stack_layers("ffn_down.bias", False),
+    }
+    return {
+        # convs kept f32: tiny, and the front-end is precision-sensitive
+        "conv1_w": _to_dev(g.get(p + "conv1.weight"), jnp.float32),
+        "conv1_b": _to_dev(g.get(p + "conv1.bias"), jnp.float32),
+        "conv2_w": _to_dev(g.get(p + "conv2.weight"), jnp.float32),
+        "conv2_b": _to_dev(g.get(p + "conv2.bias"), jnp.float32),
+        "conv3_w": _to_dev(g.get(p + "conv3.weight"), jnp.float32),
+        "conv3_b": _to_dev(g.get(p + "conv3.bias"), jnp.float32),
+        "conv_out_w": _linear(g, p + "conv_out.weight", dtype),
+        "layers": layers,
+        "ln_post_w": _maybe(g, p + "ln_post.weight", dtype),
+        "ln_post_b": _maybe(g, p + "ln_post.bias", dtype),
+        "proj1_w": _maybe(g, p + "proj1.weight", dtype, transpose=True),
+        "proj1_b": _maybe(g, p + "proj1.bias", dtype),
+        "proj2_w": _maybe(g, p + "proj2.weight", dtype, transpose=True),
+        "proj2_b": _maybe(g, p + "proj2.bias", dtype),
+    }
+
+
+def load_decoder_params(g: GGUFFile, cfg: DecoderConfig, dtype) -> dict:
+    def stack_layers(suffix: str, transpose: bool) -> jax.Array:
+        mats = []
+        for i in range(cfg.n_layers):
+            a = g.get(f"blk.{i}.{suffix}")
+            mats.append(a.T if transpose else a)
+        return _to_dev(np.stack(mats), dtype)
+
+    layers = {
+        "attn_norm": stack_layers("attn_norm.weight", False),
+        "wq": stack_layers("attn_q.weight", True),
+        "wk": stack_layers("attn_k.weight", True),
+        "wv": stack_layers("attn_v.weight", True),
+        "wo": stack_layers("attn_output.weight", True),
+        "q_norm": stack_layers("attn_q_norm.weight", False),
+        "k_norm": stack_layers("attn_k_norm.weight", False),
+        "ffn_norm": stack_layers("ffn_norm.weight", False),
+        "w_gate": stack_layers("ffn_gate.weight", True),
+        "w_up": stack_layers("ffn_up.weight", True),
+        "w_down": stack_layers("ffn_down.weight", True),
+    }
+    out = {
+        "token_embd": _to_dev(g.get("token_embd.weight"), dtype),  # [vocab, h]
+        "output_norm": _to_dev(g.get("output_norm.weight"), dtype),
+        "layers": layers,
+    }
+    if cfg.classify_num is not None:
+        # the converter writes `classify_head.weight`; the reference loader
+        # pattern-matches `output.weight` instead (forced_aligner.cpp:274) —
+        # accept both, preferring the explicit name.
+        if "classify_head.weight" in g.tensors:
+            out["classify_w"] = _linear(g, "classify_head.weight", dtype)
+            out["classify_b"] = _maybe(g, "classify_head.bias", dtype)
+        else:
+            out["classify_w"] = _linear(g, "output.weight", dtype)
+            out["classify_b"] = None
+    return out
+
+
+def load_asr_model(path: str, dtype=jnp.bfloat16):
+    """-> (ASRModelConfig, {'encoder':..., 'decoder':...}, vocab, merges)."""
+    g = GGUFFile(path)
+    dec_cfg = decoder_config_from_gguf(g, classify=False)
+    enc_cfg = encoder_config_from_gguf(g, output_dim=dec_cfg.hidden_size, aligner=False)
+    cfg = ASRModelConfig(encoder=enc_cfg, decoder=dec_cfg)
+    params = {
+        "encoder": load_encoder_params(g, enc_cfg, dtype),
+        "decoder": load_decoder_params(g, dec_cfg, dtype),
+    }
+    vocab = g.metadata.get("tokenizer.ggml.tokens", [])
+    merges = g.metadata.get("tokenizer.ggml.merges", [])
+    g.close()
+    return cfg, params, vocab, merges
+
+
+def load_aligner_model(path: str, dtype=jnp.bfloat16):
+    g = GGUFFile(path)
+    dec_cfg = decoder_config_from_gguf(g, classify=True)
+    enc_cfg = encoder_config_from_gguf(g, output_dim=dec_cfg.hidden_size, aligner=True)
+    cfg = AlignerModelConfig(
+        encoder=enc_cfg,
+        decoder=dec_cfg,
+        timestamp_token_id=_get(g.metadata, "qwen3-asr.timestamp_token_id", 151705),
+        timestamp_segment_time_ms=_get(g.metadata, "qwen3-asr.timestamp_segment_time", 80),
+    )
+    params = {
+        "encoder": load_encoder_params(g, enc_cfg, dtype),
+        "decoder": load_decoder_params(g, dec_cfg, dtype),
+    }
+    vocab = g.metadata.get("tokenizer.ggml.tokens", [])
+    merges = g.metadata.get("tokenizer.ggml.merges", [])
+    g.close()
+    return cfg, params, vocab, merges
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / benchmarks without model files)
+# ---------------------------------------------------------------------------
+
+def init_encoder_params(cfg: AudioEncoderConfig, key, dtype) -> dict:
+    ks = jax.random.split(key, 8)
+    d, f, c = cfg.d_model, cfg.ffn_dim, cfg.conv_channels
+    L = cfg.n_layers
+    s = lambda *shape: 0.02
+
+    def nrm(k, *shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "attn_norm_w": jnp.ones((L, d), dtype),
+        "attn_norm_b": jnp.zeros((L, d), dtype),
+        "wq": nrm(ks[0], L, d, d),
+        "bq": jnp.zeros((L, d), dtype),
+        "wk": nrm(ks[1], L, d, d),
+        "bk": jnp.zeros((L, d), dtype),
+        "wv": nrm(ks[2], L, d, d),
+        "bv": jnp.zeros((L, d), dtype),
+        "wo": nrm(ks[3], L, d, d),
+        "bo": jnp.zeros((L, d), dtype),
+        "ffn_norm_w": jnp.ones((L, d), dtype),
+        "ffn_norm_b": jnp.zeros((L, d), dtype),
+        "w_up": nrm(ks[4], L, d, f),
+        "b_up": jnp.zeros((L, f), dtype),
+        "w_down": nrm(ks[5], L, f, d),
+        "b_down": jnp.zeros((L, d), dtype),
+    }
+    k2 = jax.random.split(ks[6], 8)
+    return {
+        "conv1_w": jax.random.normal(k2[0], (c, 1, 3, 3), jnp.float32) * 0.1,
+        "conv1_b": jnp.zeros((c,), jnp.float32),
+        "conv2_w": jax.random.normal(k2[1], (c, c, 3, 3), jnp.float32) * 0.02,
+        "conv2_b": jnp.zeros((c,), jnp.float32),
+        "conv3_w": jax.random.normal(k2[2], (c, c, 3, 3), jnp.float32) * 0.02,
+        "conv3_b": jnp.zeros((c,), jnp.float32),
+        "conv_out_w": nrm(k2[3], cfg.conv_out_in_dim, d),
+        "layers": layers,
+        "ln_post_w": jnp.ones((d,), dtype),
+        "ln_post_b": jnp.zeros((d,), dtype),
+        "proj1_w": nrm(k2[4], d, d),
+        "proj1_b": jnp.zeros((d,), dtype),
+        "proj2_w": nrm(k2[5], d, cfg.output_dim),
+        "proj2_b": jnp.zeros((cfg.output_dim,), dtype),
+    }
+
+
+def init_decoder_params(cfg: DecoderConfig, key, dtype) -> dict:
+    ks = jax.random.split(key, 10)
+    h, L = cfg.hidden_size, cfg.n_layers
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+
+    def nrm(k, *shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "wq": nrm(ks[0], L, h, qd),
+        "wk": nrm(ks[1], L, h, kvd),
+        "wv": nrm(ks[2], L, h, kvd),
+        "wo": nrm(ks[3], L, qd, h),
+        "q_norm": jnp.ones((L, cfg.head_dim), dtype),
+        "k_norm": jnp.ones((L, cfg.head_dim), dtype),
+        "ffn_norm": jnp.ones((L, h), dtype),
+        "w_gate": nrm(ks[4], L, h, inter),
+        "w_up": nrm(ks[5], L, h, inter),
+        "w_down": nrm(ks[6], L, inter, h),
+    }
+    out = {
+        "token_embd": nrm(ks[7], cfg.vocab_size, h),
+        "output_norm": jnp.ones((h,), dtype),
+        "layers": layers,
+    }
+    if cfg.classify_num is not None:
+        out["classify_w"] = nrm(ks[8], h, cfg.classify_num)
+        out["classify_b"] = jnp.zeros((cfg.classify_num,), dtype)
+    return out
+
+
+def init_asr_params(cfg: ASRModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "encoder": init_encoder_params(cfg.encoder, k1, dtype),
+        "decoder": init_decoder_params(cfg.decoder, k2, dtype),
+    }
+
+
+def init_aligner_params(
+    cfg: AlignerModelConfig, seed: int = 0, dtype=jnp.bfloat16
+) -> dict:
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "encoder": init_encoder_params(cfg.encoder, k1, dtype),
+        "decoder": init_decoder_params(cfg.decoder, k2, dtype),
+    }

@@ -1,0 +1,94 @@
+"""Prompt construction and ASR-output post-processing.
+
+Mirrors the reference's chat template (qwen3_asr.cpp:151-214), the aligner's
+template-free prompt (forced_aligner.cpp:1308-1329), and the CLI's language
+detection / transcript extraction (main.cpp:163-228).
+"""
+
+from __future__ import annotations
+
+from qwen3_asr_tpu.config import (
+    ASSISTANT_TOKEN,
+    IM_END,
+    IM_START,
+    NEWLINE_TOKEN,
+    SYSTEM_TOKEN,
+    USER_TOKEN,
+    DecoderConfig,
+)
+
+
+def build_asr_prompt(
+    n_audio_frames: int,
+    cfg: DecoderConfig,
+    system_prompt_tokens: list[int] | None = None,
+) -> list[int]:
+    """<|im_start|>system\\n{sys}<|im_end|>\\n<|im_start|>user\\n
+    <|audio_start|><|audio_pad|>*N<|audio_end|><|im_end|>\\n
+    <|im_start|>assistant\\n  (qwen3_asr.cpp:151-214)."""
+    toks = [IM_START, SYSTEM_TOKEN, NEWLINE_TOKEN]
+    if system_prompt_tokens:
+        toks.extend(system_prompt_tokens)
+    toks += [IM_END, NEWLINE_TOKEN, IM_START, USER_TOKEN, NEWLINE_TOKEN]
+    toks.append(cfg.audio_start_token_id)
+    toks.extend([cfg.audio_pad_token_id] * n_audio_frames)
+    toks.append(cfg.audio_end_token_id)
+    toks += [IM_END, NEWLINE_TOKEN, IM_START, ASSISTANT_TOKEN, NEWLINE_TOKEN]
+    return toks
+
+
+def build_aligner_prompt(
+    text_tokens: list[int], n_audio_frames: int, cfg: DecoderConfig
+) -> list[int]:
+    """<audio_start><pad>*N<audio_end><text tokens> — no chat template
+    (forced_aligner.cpp:1308-1329)."""
+    toks = [cfg.audio_start_token_id]
+    toks.extend([cfg.audio_pad_token_id] * n_audio_frames)
+    toks.append(cfg.audio_end_token_id)
+    toks.extend(text_tokens)
+    return toks
+
+
+def audio_start_pos(tokens: list[int], cfg: DecoderConfig) -> int:
+    """Position of the first audio_pad token (qwen3_asr.cpp:233-243)."""
+    for i, t in enumerate(tokens):
+        if t == cfg.audio_pad_token_id:
+            return i
+    return -1
+
+
+def detect_language(asr_text: str) -> str:
+    """Parse a leading 'language Xxx' prefix (main.cpp:163-192)."""
+    prefix = "language "
+    if not asr_text.startswith(prefix) or len(asr_text) <= len(prefix):
+        return ""
+    pos = len(prefix)
+    first = asr_text[pos]
+    if not ("A" <= first <= "Z"):
+        return ""
+    pos += 1
+    while pos < len(asr_text) and "a" <= asr_text[pos] <= "z":
+        pos += 1
+    return asr_text[len(prefix) : pos].lower()
+
+
+def extract_transcript(asr_text: str) -> str:
+    """Strip the 'language Xxx' prefix plus following ASCII whitespace
+    (main.cpp:194-228)."""
+    prefix = "language "
+    if not asr_text.startswith(prefix):
+        return asr_text
+    pos = len(prefix)
+    if pos >= len(asr_text):
+        return ""
+    if not ("A" <= asr_text[pos] <= "Z"):
+        return asr_text
+    pos += 1
+    while pos < len(asr_text) and "a" <= asr_text[pos] <= "z":
+        pos += 1
+    while pos < len(asr_text):
+        c = asr_text[pos]
+        if ord(c) >= 0x80 or not c.isspace():
+            break
+        pos += 1
+    return asr_text[pos:]
