@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Benchmark: full ASR pipeline (mel -> encoder -> greedy decode) on the
+92-second reference workload, against BASELINE.md (M2 Pro: 5007 ms total,
+18.4x realtime, 77 tok/s decode).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Runs on whatever jax.devices() provides (one TPU chip under the driver).
+Uses the real Qwen3-ASR-0.6B hparams with synthetic bf16 weights unless
+QWEN3_ASR_GGUF points at a real model file. Greedy decode is forced to run
+for the baseline's 323 tokens (EOS disabled via an unreachable id) so the
+timing matches the reference workload shape even with random weights.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.audio import generate_mel_filters, log_mel_spectrogram
+    from qwen3_asr_tpu.config import ASRModelConfig
+    from qwen3_asr_tpu.models.encoder import encode_audio
+    from qwen3_asr_tpu.models.generate import generate_greedy
+    from qwen3_asr_tpu.runtime.params import init_asr_params, load_asr_model
+    from qwen3_asr_tpu.text.prompt import audio_start_pos, build_asr_prompt
+
+    seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "92"))
+    n_decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "323"))
+    gguf = os.environ.get("QWEN3_ASR_GGUF", "")
+
+    if gguf:
+        cfg, params, _, _ = load_asr_model(gguf, jnp.bfloat16)
+    else:
+        cfg = ASRModelConfig()
+        params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = jax.device_put(params)
+    dcfg = cfg.decoder
+    # force a fixed-length decode: EOS id outside the argmax range
+    dcfg_noeos = dataclasses.replace(dcfg, eos_token_id=-1)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)
+             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    filters = generate_mel_filters()
+
+    def pipeline(max_tokens):
+        t0 = time.perf_counter()
+        mel = log_mel_spectrogram(audio, filters)
+        t1 = time.perf_counter()
+        feats = encode_audio(params["encoder"], cfg.encoder, mel)
+        feats.block_until_ready()
+        t2 = time.perf_counter()
+        n_audio = int(feats.shape[0])
+        prompt = build_asr_prompt(n_audio, dcfg)
+        off = audio_start_pos(prompt, dcfg)
+        n_prompt = len(prompt)
+        bucket = 128
+        P = -(-n_prompt // bucket) * bucket
+        toks = np.full(P, dcfg.pad_token_id, np.int32)
+        toks[:n_prompt] = prompt
+        cap = P - (n_prompt - n_audio)
+        audio_padded = jnp.zeros((cap, dcfg.hidden_size), feats.dtype)
+        audio_padded = jax.lax.dynamic_update_slice(audio_padded, feats, (0, 0))
+        out, n_kept = generate_greedy(
+            params["decoder"], dcfg_noeos, jnp.asarray(toks),
+            jnp.int32(n_prompt), audio_padded, jnp.int32(n_audio), off,
+            max_tokens,
+        )
+        out.block_until_ready()
+        t3 = time.perf_counter()
+        return {
+            "mel_ms": (t1 - t0) * 1e3,
+            "encode_ms": (t2 - t1) * 1e3,
+            "decode_ms": (t3 - t2) * 1e3,
+            "total_ms": (t3 - t0) * 1e3,
+            "n_tokens": int(n_kept),
+        }
+
+    # warmup (compile)
+    pipeline(n_decode_tokens)
+    # timed runs
+    runs = [pipeline(n_decode_tokens) for _ in range(3)]
+    best = min(runs, key=lambda r: r["total_ms"])
+
+    rtf = seconds / (best["total_ms"] / 1e3)
+    tok_s = best["n_tokens"] / (best["decode_ms"] / 1e3)
+    result = {
+        "metric": "asr_realtime_factor_92s",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 18.4, 2),  # M2 Pro: 18.4x (BASELINE.md)
+        "detail": {
+            "total_ms": round(best["total_ms"], 1),
+            "mel_ms": round(best["mel_ms"], 1),
+            "encode_ms": round(best["encode_ms"], 1),
+            "decode_ms": round(best["decode_ms"], 1),
+            "decode_tokens_per_s": round(tok_s, 1),
+            "decode_tokens": best["n_tokens"],
+            "vs_baseline_total_ms": round(5007 / best["total_ms"], 2),
+            "vs_baseline_tok_s": round(tok_s / 77.0, 2),
+            "device": str(jax.devices()[0]),
+            "weights": "gguf" if gguf else "synthetic-bf16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

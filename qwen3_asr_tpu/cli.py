@@ -1,0 +1,227 @@
+"""qwen3-asr-cli — command-line interface with the reference's flags/outputs.
+
+Three modes (main.cpp:513-533): transcription (default), --align, and
+-a/--transcribe-align. Data output goes to stdout (or -o file), diagnostics
+to stderr, exit code 1 on error — same contract as the reference binary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _eprint(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def find_korean_dict(model_path: str) -> str:
+    """Search next to the model and in ./assets (main.cpp:275-292)."""
+    d = os.path.dirname(model_path) or "."
+    for cand in (
+        os.path.join(d, "..", "assets", "korean_dict_jieba.dict"),
+        os.path.join(d, "assets", "korean_dict_jieba.dict"),
+        os.path.join("assets", "korean_dict_jieba.dict"),
+    ):
+        if os.path.isfile(cand):
+            return cand
+    return ""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="qwen3-asr-cli",
+        description="Qwen3-ASR speech-to-text and forced alignment (TPU)",
+    )
+    p.add_argument("-m", "--model", default="models/qwen3-asr-0.6b-f16.gguf",
+                   help="Path to GGUF model")
+    p.add_argument("-f", "--audio", required=True,
+                   help="Path to audio file (WAV, 16kHz mono)")
+    p.add_argument("-o", "--output", default="", help="Output file (default stdout)")
+    p.add_argument("-l", "--language", "--lang", default="",
+                   help="Language code (e.g. 'korean' for Korean word splitting)")
+    p.add_argument("-t", "--threads", type=int, default=4,
+                   help="Host thread count (accepted for parity; XLA manages threads)")
+    p.add_argument("--max-tokens", type=int, default=1024)
+    p.add_argument("--progress", action="store_true", dest="print_progress")
+    p.add_argument("--no-timing", action="store_false", dest="print_timing")
+    p.add_argument("--tokens", action="store_true", dest="print_tokens")
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--align", action="store_true", dest="align_mode")
+    p.add_argument("--text", default="", dest="align_text",
+                   help="Reference transcript for alignment")
+    p.add_argument("-a", "--transcribe-align", action="store_true",
+                   dest="transcribe_align_mode")
+    p.add_argument("--aligner-model", default="",
+                   help="Forced aligner GGUF (required with --transcribe-align)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                   help="On-device compute dtype")
+    return p
+
+
+def _write_output(text: str, output_path: str) -> int:
+    if not output_path:
+        print(text, flush=True)
+    else:
+        try:
+            with open(output_path, "w", encoding="utf-8") as f:
+                f.write(text + "\n")
+        except OSError:
+            _eprint(f"Error: Failed to open output file: {output_path}")
+            return 1
+        _eprint(f"Output written to: {output_path}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.align_mode and not args.align_text:
+        _eprint("Error: Reference text is required for alignment mode (--text)")
+        return 1
+    if args.align_mode and args.transcribe_align_mode:
+        _eprint("Error: --align and --transcribe-align cannot be used together")
+        return 1
+    if args.transcribe_align_mode and not args.aligner_model:
+        _eprint("Error: --aligner-model is required for --transcribe-align")
+        return 1
+
+    # heavy imports after arg validation
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+    from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+    from qwen3_asr_tpu.pipeline.combined import (
+        alignment_to_json,
+        transcribe_and_align,
+    )
+    from qwen3_asr_tpu.runtime.profiler import profiler
+    from qwen3_asr_tpu.text import detect_language
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    tp = TranscribeParams(
+        max_tokens=args.max_tokens,
+        language=args.language,
+        print_progress=args.print_progress,
+        print_timing=args.print_timing,
+    )
+
+    def maybe_profile():
+        if args.profile:
+            _eprint(profiler.report())
+
+    if args.transcribe_align_mode:
+        _eprint("qwen3-asr-cli (Transcribe + Align Mode)")
+        _eprint(f"  ASR Model: {args.model}")
+        _eprint(f"  Aligner Model: {args.aligner_model}")
+        _eprint(f"  Audio: {args.audio}\n")
+
+        asr = Qwen3ASR(dtype=dtype)
+        if not asr.load_model(args.model):
+            _eprint(f"Error (ASR): {asr.error_msg}")
+            return 1
+        aligner = ForcedAligner(dtype=dtype)
+        if not aligner.load_model(args.aligner_model):
+            _eprint(f"Error (Aligner): {aligner.error_msg}")
+            return 1
+
+        # preload the Korean dict if the override requests it; the detected
+        # language is handled inside transcribe_and_align
+        result_probe = asr.transcribe(args.audio, tp)
+        if not result_probe.success:
+            _eprint(f"Error (ASR): {result_probe.error_msg}")
+            return 1
+        detected = detect_language(result_probe.text)
+        align_lang = args.language or detected
+        if align_lang == "korean":
+            dict_path = find_korean_dict(args.aligner_model)
+            if not dict_path:
+                _eprint("Warning: Korean dictionary not found. "
+                        "Falling back to whitespace splitting.")
+            elif not aligner.load_korean_dict(dict_path):
+                _eprint(f"Warning: Failed to load Korean dictionary from {dict_path}")
+
+        from qwen3_asr_tpu.text import extract_transcript
+        transcript = extract_transcript(result_probe.text)
+        _eprint(f"  Detected language: {detected or '(none)'}")
+        _eprint(f"  Transcript: {transcript}")
+
+        align_result = aligner.align(args.audio, transcript, align_lang)
+        if not align_result.success:
+            _eprint(f"Error (Aligner): {align_result.error_msg}")
+            return 1
+
+        if args.print_timing:
+            _eprint(
+                f"\nCombined Timing:\n"
+                f"  ASR:           {result_probe.t_total_ms:.0f} ms\n"
+                f"  Alignment:     {align_result.t_total_ms:.0f} ms\n"
+                f"  Total:         {result_probe.t_total_ms + align_result.t_total_ms:.0f} ms\n"
+                f"  Words aligned: {len(align_result.words)}"
+            )
+        rc = _write_output(alignment_to_json(align_result), args.output)
+        maybe_profile()
+        return rc
+
+    if args.align_mode:
+        _eprint("qwen3-asr-cli (Forced Alignment Mode)")
+        _eprint(f"  Model: {args.model}")
+        _eprint(f"  Audio: {args.audio}")
+        _eprint(f"  Text: {args.align_text}\n")
+
+        aligner = ForcedAligner(dtype=dtype)
+        if not aligner.load_model(args.model):
+            _eprint(f"Error: {aligner.error_msg}")
+            return 1
+        if args.language == "korean":
+            dict_path = find_korean_dict(args.model)
+            if not dict_path:
+                _eprint("Warning: Korean dictionary not found. "
+                        "Falling back to whitespace splitting.")
+            elif not aligner.load_korean_dict(dict_path):
+                _eprint(f"Warning: Failed to load Korean dictionary from {dict_path}")
+
+        _eprint("Model loaded. Running alignment...")
+        result = aligner.align(args.audio, args.align_text, args.language)
+        if not result.success:
+            _eprint(f"Error: {result.error_msg}")
+            return 1
+        if args.print_timing:
+            _eprint(
+                f"\nTiming:\n"
+                f"  Mel spectrogram: {result.t_mel_ms:.0f} ms\n"
+                f"  Audio encoding:  {result.t_encode_ms:.0f} ms\n"
+                f"  Text decoding:   {result.t_decode_ms:.0f} ms\n"
+                f"  Total:           {result.t_total_ms:.0f} ms\n"
+                f"  Words aligned:   {len(result.words)}"
+            )
+        rc = _write_output(alignment_to_json(result), args.output)
+        maybe_profile()
+        return rc
+
+    # default: transcription
+    _eprint("qwen3-asr-cli")
+    _eprint(f"  Model: {args.model}")
+    _eprint(f"  Audio: {args.audio}\n")
+
+    asr = Qwen3ASR(dtype=dtype)
+    if not asr.load_model(args.model):
+        _eprint(f"Error: {asr.error_msg}")
+        return 1
+    result = asr.transcribe(args.audio, tp)
+    if not result.success:
+        _eprint(f"Error: {result.error_msg}")
+        return 1
+    if args.print_tokens:
+        _eprint(f"\nTokens ({len(result.tokens)}):")
+        for i, t in enumerate(result.tokens):
+            _eprint(f"  [{i}] {t}")
+    rc = _write_output(result.text, args.output)
+    maybe_profile()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

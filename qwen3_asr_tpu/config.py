@@ -145,6 +145,7 @@ def tiny_asr_config(vocab_size: int = 512) -> ASRModelConfig:
             n_kv_heads=2,
             head_dim=16,
             intermediate_size=96,
+            pad_token_id=0,
             eos_token_id=vocab_size - 1,
             audio_start_token_id=vocab_size - 4,
             audio_end_token_id=vocab_size - 3,
@@ -173,6 +174,7 @@ def tiny_aligner_config(vocab_size: int = 512) -> AlignerModelConfig:
             head_dim=16,
             intermediate_size=96,
             classify_num=50,
+            pad_token_id=0,
             eos_token_id=vocab_size - 1,
             audio_start_token_id=vocab_size - 4,
             audio_end_token_id=vocab_size - 3,

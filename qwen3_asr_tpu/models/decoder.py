@@ -1,0 +1,165 @@
+"""Qwen3 text decoder (shared by ASR lm-head and FA classify-head modes).
+
+Architecture (reference: text_decoder.cpp:392-581): RMSNorm pre-norm, GQA
+attention with per-head QK-RMSNorm, NEOX RoPE (theta 1e6), SwiGLU FFN,
+weight-tied lm head over the last position only — or, in classify mode, a
+classification head over all positions with no KV cache
+(forced_aligner.cpp:926-1086).
+
+TPU-first design:
+- the layer stack runs as one `lax.scan` over stacked per-layer weights,
+- the KV cache is a functional pytree {k, v} of [L, S, n_kv, head_dim]
+  arrays updated via dynamic_update_slice and threaded through the scan as
+  per-layer xs/ys (the reference mutates GGML cache views in place,
+  text_decoder.cpp:509-523),
+- masks are boolean predicates computed on device, never host-filled
+  (reference fills an O(n_kv * n_tokens) F16 mask per forward,
+  text_decoder.cpp:636-648).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import DecoderConfig
+from qwen3_asr_tpu.ops.attention import mha_attention
+
+
+def rms_norm(x: jax.Array, w: jax.Array | None, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    y = y.astype(x.dtype)
+    return y if w is None else y * w
+
+
+def rope_neox(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """NEOX-style rotary embedding on [T, n_heads, head_dim].
+
+    Half-split convention (HF rotate_half / GGML_ROPE_TYPE_NEOX,
+    text_decoder.cpp:501-507): pairs are (x[i], x[i + d/2]).
+    """
+    d = x.shape[-1]
+    half = d // 2
+    inv_freq = jnp.asarray(
+        1.0 / (theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / d)),
+        dtype=jnp.float32,
+    )
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def init_kv_cache(cfg: DecoderConfig, n_ctx: int, dtype=jnp.bfloat16) -> dict:
+    """Preallocated [L, n_ctx, n_kv, head_dim] cache (reference keeps F16
+    GGML tensors, text_decoder.cpp:337-386; bf16 is the TPU-native choice)."""
+    shape = (cfg.n_layers, n_ctx, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def embed_with_audio(
+    dec_params: dict,
+    tokens: jax.Array,              # [T] int32
+    audio: jax.Array | None,        # [N_audio_max, hidden] or None
+    n_audio,                        # scalar (may be traced)
+    audio_offset: int,              # static: index of first audio_pad token
+) -> jax.Array:
+    """Token embeddings with encoder features scattered over the audio_pad
+    rows (reference splices via concat views, text_decoder.cpp:431-459; we
+    use a where-gather so `n_audio` can be dynamic under one compiled shape).
+    """
+    embd = dec_params["token_embd"]
+    h = jnp.take(embd, tokens, axis=0)
+    if audio is None:
+        return h
+    T = tokens.shape[0]
+    idx = jnp.arange(T)
+    is_audio = (idx >= audio_offset) & (idx < audio_offset + n_audio)
+    src = jnp.clip(idx - audio_offset, 0, audio.shape[0] - 1)
+    audio_rows = jnp.take(audio.astype(h.dtype), src, axis=0)
+    return jnp.where(is_audio[:, None], audio_rows, h)
+
+
+def decoder_forward(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    h: jax.Array,                # [T, hidden] input embeddings
+    positions: jax.Array,        # [T] int32 RoPE positions
+    kv_cache: dict,              # {k, v}: [L, S, n_kv, hd]
+    cache_offset,                # scalar: where to write this block
+    kv_valid_len,                # scalar: total real cache rows after write
+) -> tuple[jax.Array, dict]:
+    """Run all layers; returns (hidden [T, hidden], updated kv_cache).
+
+    Attention of row t spans cache[s] for s <= cache_offset + t, s < kv_valid_len.
+    """
+    T = h.shape[0]
+    S = kv_cache["k"].shape[1]
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
+
+    rows = jnp.arange(T)[:, None]
+    cols = jnp.arange(S)[None, :]
+    mask = (cols <= cache_offset + rows) & (cols < kv_valid_len)
+
+    def body(carry, xs):
+        x_in = carry
+        lp, k_cache_l, v_cache_l = xs
+
+        x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
+        q = (x @ lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
+        k = (x @ lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        v = (x @ lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = rope_neox(q, positions, cfg.rope_theta)
+        k = rope_neox(k, positions, cfg.rope_theta)
+
+        zero = jnp.zeros((), cache_offset.dtype) if hasattr(cache_offset, "dtype") else 0
+        k_full = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (cache_offset, zero, zero)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (cache_offset, zero, zero)
+        )
+
+        attn = mha_attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+                             mask, scale)
+        x = attn.reshape(T, cfg.n_heads * cfg.head_dim) @ lp["wo"]
+        h1 = x_in + x
+
+        x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(x @ lp["w_gate"])
+        x = (gate * (x @ lp["w_up"])) @ lp["w_down"]
+        return h1 + x, (k_full, v_full)
+
+    h_out, (k_new, v_new) = jax.lax.scan(
+        body, h, (dec_params["layers"], kv_cache["k"], kv_cache["v"])
+    )
+    return h_out, {"k": k_new, "v": v_new}
+
+
+def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Array:
+    """Tied lm head on one row: [hidden] -> [vocab] f32
+    (text_decoder.cpp:564-574)."""
+    x = rms_norm(h_last, dec_params["output_norm"], cfg.rms_norm_eps)
+    return jnp.dot(
+        x, dec_params["token_embd"].T, preferred_element_type=jnp.float32
+    )
+
+
+def classify_logits(dec_params: dict, cfg: DecoderConfig, h: jax.Array) -> jax.Array:
+    """Classification head over ALL positions: [T, hidden] -> [T, classes]
+    f32 (forced_aligner.cpp:1068-1076)."""
+    x = rms_norm(h, dec_params["output_norm"], cfg.rms_norm_eps)
+    logits = jnp.dot(
+        x, dec_params["classify_w"], preferred_element_type=jnp.float32
+    )
+    if dec_params.get("classify_b") is not None:
+        logits = logits + dec_params["classify_b"].astype(jnp.float32)
+    return logits

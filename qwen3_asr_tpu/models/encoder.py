@@ -1,0 +1,160 @@
+"""Shared Whisper-style audio encoder (ASR tower and FA tower).
+
+One implementation parameterized by `AudioEncoderConfig` — the reference
+duplicates this whole module between audio_encoder.cpp and
+forced_aligner.cpp:591-924; mask mode (full bidirectional vs block-diagonal
+windows) is the only behavioral difference.
+
+TPU-first design decisions:
+- ALL conv chunks are batched into one conv program (like the reference's FA
+  path, forced_aligner.cpp:633-709, and the HF oracle,
+  tests/generate_reference.py:76-95) instead of a per-chunk graph rebuild +
+  host round-trip (audio_encoder.cpp:348-409),
+- the sinusoidal positional embedding is computed and added on device
+  (the reference computes it on the host per chunk, audio_encoder.cpp:398-406),
+- chunk-validity gather uses indices that are static at trace time,
+- the FA block-diagonal attention uses a position//window predicate instead
+  of a materialized n_ctx^2 mask (forced_aligner.cpp:757-766).
+
+Conv semantics: 3x [3x3, stride 2, pad 1] + bias + exact GELU on zero-padded
+100-frame chunks, matching the HF oracle. GELU is exact (erf) to match HF's
+F.gelu; GGML's tanh-approx gelu differs at ~1e-3, inside the reference's own
+2e-2 encoder tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import AudioEncoderConfig
+from qwen3_asr_tpu.ops.attention import block_diagonal_mask, mha_attention
+
+
+def chunk_output_len(chunk_frames: int) -> int:
+    """(len-1)//2+1 applied three times (audio_encoder.cpp:304-310)."""
+    n = chunk_frames
+    for _ in range(3):
+        n = (n - 1) // 2 + 1
+    return n
+
+
+def sinusoidal_pe(n_ctx: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    """Half-split sin/cos positional embedding (audio_encoder.cpp:12-22):
+    pe[pos, i] = sin(pos * exp(-log(10000) * i / (half-1))),
+    pe[pos, half+i] = cos(same)."""
+    half = d_model // 2
+    i = np.arange(half, dtype=np.float64)
+    div = np.exp(-np.log(10000.0) * i / (half - 1))
+    pos = np.arange(n_ctx, dtype=np.float64)[:, None]
+    ang = pos * div[None, :]
+    pe = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+def _layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    if w is not None:
+        y = y * w
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _conv_frontend(params: dict, mel_chunks: jax.Array) -> jax.Array:
+    """mel_chunks [B, 1, n_mel, chunk] NCHW f32 -> [B, T_out, C*H] features."""
+    dn = ("NCHW", "OIHW", "NCHW")
+    x = mel_chunks
+    for i in (1, 2, 3):
+        w = params[f"conv{i}_w"]
+        b = params[f"conv{i}_b"]
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=dn,
+        )
+        x = jax.nn.gelu(x + b[None, :, None, None], approximate=False)
+    # [B, C, H, W] -> [B, W, C, H] -> [B, W, C*H]; feature index = c*H + h,
+    # matching HF's permute(0,3,1,2).view(b,t,c*f) (generate_reference.py:94-95)
+    B, C, H, W = x.shape
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, W, C * H)
+
+
+def _encoder_block(cfg: AudioEncoderConfig, h, layer, mask):
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
+    T = h.shape[0]
+
+    x = _layer_norm(h, layer["attn_norm_w"], layer["attn_norm_b"], cfg.layer_norm_eps)
+    q = (x @ layer["wq"] + layer["bq"]).reshape(T, cfg.n_heads, cfg.head_dim)
+    k = (x @ layer["wk"] + layer["bk"]).reshape(T, cfg.n_heads, cfg.head_dim)
+    v = (x @ layer["wv"] + layer["bv"]).reshape(T, cfg.n_heads, cfg.head_dim)
+    attn = mha_attention(q, k, v, mask, scale).reshape(T, cfg.d_model)
+    h = h + (attn @ layer["wo"] + layer["bo"])
+
+    x = _layer_norm(h, layer["ffn_norm_w"], layer["ffn_norm_b"], cfg.layer_norm_eps)
+    x = jax.nn.gelu(x @ layer["w_up"] + layer["b_up"], approximate=False)
+    h = h + (x @ layer["w_down"] + layer["b_down"])
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
+def _encode_jit(params: dict, cfg: AudioEncoderConfig, mel: jax.Array, n_frames: int):
+    n_mel = cfg.n_mel_bins
+    chunk = cfg.chunk_size
+    n_chunks = -(-n_frames // chunk)
+    max_out = chunk_output_len(chunk)  # 13
+
+    # zero-pad to whole chunks and batch: [n_chunks, 1, n_mel, chunk]
+    pad = n_chunks * chunk - n_frames
+    mel_p = jnp.pad(mel.astype(jnp.float32), ((0, 0), (0, pad)))
+    chunks = mel_p.reshape(n_mel, n_chunks, chunk).transpose(1, 0, 2)[:, None]
+
+    feats = _conv_frontend(params, chunks)                 # [B, 13, C*H]
+    dtype = params["conv_out_w"].dtype
+    x = feats.astype(dtype) @ params["conv_out_w"]         # [B, 13, d]
+    x = x + sinusoidal_pe(max_out, cfg.d_model, dtype)[None]
+
+    # static valid-frame gather: every chunk yields 13 frames except a
+    # shorter tail (audio_encoder.cpp:331-343)
+    last_len = n_frames - (n_chunks - 1) * chunk
+    last_out = chunk_output_len(last_len)
+    idx = []
+    for c in range(n_chunks):
+        valid = max_out if c < n_chunks - 1 else last_out
+        idx.extend(range(c * max_out, c * max_out + valid))
+    idx = np.asarray(idx, dtype=np.int32)
+    h = x.reshape(n_chunks * max_out, cfg.d_model)[idx]    # [n_ctx, d]
+    n_ctx = h.shape[0]
+
+    if cfg.n_window_infer is None:
+        mask = None
+    else:
+        window = max_out * (cfg.n_window_infer // chunk)   # 104 for FA
+        mask = block_diagonal_mask(n_ctx, window)
+
+    def body(carry, layer):
+        return _encoder_block(cfg, carry, layer, mask), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+
+    h = _layer_norm(h, params["ln_post_w"], params["ln_post_b"], cfg.layer_norm_eps)
+    if params.get("proj1_w") is not None:
+        h = jax.nn.gelu(h @ params["proj1_w"] + params["proj1_b"], approximate=False)
+    if params.get("proj2_w") is not None:
+        h = h @ params["proj2_w"] + params["proj2_b"]
+    return h
+
+
+def encode_audio(params: dict, cfg: AudioEncoderConfig, mel) -> jax.Array:
+    """mel [n_mel, n_frames] -> encoder features [n_ctx, output_dim].
+
+    n_ctx = sum of per-chunk output lengths = 13 per full second of audio.
+    """
+    mel = jnp.asarray(mel)
+    return _encode_jit(params, cfg, mel, int(mel.shape[1]))

@@ -1,0 +1,109 @@
+"""Greedy autoregressive generation — prefill + decode loop in ONE jit.
+
+This collapses the reference's per-token cycle (graph rebuild + host mask
+fill + 151936-float logits readback + host argmax, qwen3_asr.cpp:216-303,
+text_decoder.cpp:583-684) into a single compiled program: the KV cache stays
+in HBM, argmax runs on device, and the EOS test is a `lax.while_loop`
+predicate. Exactly one host<->device round trip per utterance.
+
+Shapes are bucketed: prompt length is padded to `prompt_bucket` and the real
+length enters as a scalar, so one compiled program serves a range of audio
+lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.config import DecoderConfig
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    embed_with_audio,
+    init_kv_cache,
+    lm_logits,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "max_tokens", "cache_dtype"),
+)
+def generate_greedy(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,        # [P] int32, prompt padded to bucket P
+    n_prompt: jax.Array,      # scalar int32, real prompt length
+    audio: jax.Array | None,  # [N_max, hidden] encoder features (padded)
+    n_audio: jax.Array,       # scalar int32, real audio frame count
+    audio_offset: int,        # static: index of first audio_pad token
+    max_tokens: int,          # static: generation budget
+    cache_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (out_tokens [max_tokens] int32, n_generated scalar).
+
+    out_tokens[i] for i >= n_generated is undefined filler; EOS is not
+    included (the reference pops it, qwen3_asr.cpp:298-300).
+    """
+    P = tokens.shape[0]
+    S = P + max_tokens
+    cache = init_kv_cache(cfg, S, cache_dtype)
+
+    # ---- prefill -----------------------------------------------------------
+    h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
+    positions = jnp.arange(P, dtype=jnp.int32)
+    h, cache = decoder_forward(
+        dec_params, cfg, h0, positions, cache,
+        cache_offset=jnp.int32(0), kv_valid_len=n_prompt,
+    )
+    h_last = jax.lax.dynamic_index_in_dim(h, n_prompt - 1, axis=0, keepdims=False)
+    first = jnp.argmax(lm_logits(dec_params, cfg, h_last)).astype(jnp.int32)
+
+    # ---- decode loop -------------------------------------------------------
+    out0 = jnp.zeros((max_tokens,), jnp.int32).at[0].set(first)
+
+    def cond(state):
+        i, token, _, _ = state
+        return (token != cfg.eos_token_id) & (i < max_tokens)
+
+    def body(state):
+        i, token, cache, out = state
+        pos = n_prompt + i
+        h0 = jnp.take(dec_params["token_embd"], token[None], axis=0)
+        h, cache = decoder_forward(
+            dec_params, cfg, h0, pos[None].astype(jnp.int32), cache,
+            cache_offset=pos, kv_valid_len=pos + 1,
+        )
+        nxt = jnp.argmax(lm_logits(dec_params, cfg, h[0])).astype(jnp.int32)
+        out = out.at[i].set(nxt)
+        return i + 1, nxt, cache, out
+
+    # state: (i = index where the NEXT generated token will be stored,
+    #         current token, cache, out buffer); out[0] = first token from
+    # prefill, the loop fills out[1:].
+    i, last, cache, out = jax.lax.while_loop(cond, body, (jnp.int32(1), first, cache, out0))
+
+    # number of kept tokens: i counts stored tokens including a trailing EOS
+    # slot; when the loop exited on EOS, out[i-1] == eos and is dropped.
+    n_kept = jnp.where(last == cfg.eos_token_id, i - 1, i)
+    return out, n_kept
+
+
+def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int):
+    """Single non-autoregressive causal pass -> per-position hidden states.
+
+    Used by the forced aligner (forced_aligner.cpp:1088-1169). `tokens` is
+    unpadded (FA prompt length is data-dependent anyway); jit happens per
+    shape bucket at the pipeline layer.
+    """
+    T = tokens.shape[0]
+    cache = init_kv_cache(cfg, T, dec_params["token_embd"].dtype)
+    h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
+    positions = jnp.arange(T, dtype=jnp.int32)
+    h, _ = decoder_forward(
+        dec_params, cfg, h0, positions, cache,
+        cache_offset=jnp.int32(0), kv_valid_len=jnp.int32(T),
+    )
+    return h

@@ -1,0 +1,151 @@
+"""Multi-chip execution: data-parallel batching + tensor-parallel weights.
+
+The reference is strictly single-process/single-device (SURVEY.md §2:
+"Parallelism inventory: zero"), so there is no distributed surface to
+replicate — this module is the TPU-native scaling story instead:
+
+- **dp**: independent utterances shard over the `dp` mesh axis (pure data
+  parallelism over ICI — the only collective-free axis; one 0.6B model fits
+  on every chip),
+- **tp**: attention heads and the FFN intermediate dimension shard over the
+  `tp` axis for serving larger models / lower per-token latency; XLA inserts
+  the (all-reduce) collectives from the NamedSharding annotations on the
+  weights — no hand-written communication.
+
+Layout rules (leading L = layer axis from the stacked pytree):
+  wq/wk/wv [L, h, out]  -> shard out (head dim groups)  = P(None, None, 'tp')
+  wo       [L, qd, h]   -> shard in                      = P(None, 'tp', None)
+  w_gate/w_up [L,h,int] -> shard out                     = P(None, None, 'tp')
+  w_down   [L, int, h]  -> shard in                      = P(None, 'tp', None)
+  everything else replicated over tp.
+KV caches shard their n_kv_heads axis over tp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, tp: int = 1) -> Mesh:
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    assert n_devices % tp == 0, (n_devices, tp)
+    dp = n_devices // tp
+    dev_array = np.asarray(devices[:n_devices]).reshape(dp, tp)
+    return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+def _dec_layer_specs() -> dict:
+    return {
+        "attn_norm": P(),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "q_norm": P(),
+        "k_norm": P(),
+        "ffn_norm": P(),
+        "w_gate": P(None, None, "tp"),
+        "w_up": P(None, None, "tp"),
+        "w_down": P(None, "tp", None),
+    }
+
+
+def decoder_param_specs(params: dict) -> dict:
+    specs = {
+        "token_embd": P(),
+        "output_norm": P(),
+        "layers": _dec_layer_specs(),
+    }
+    if "classify_w" in params:
+        specs["classify_w"] = P(None, "tp")
+        specs["classify_b"] = None if params.get("classify_b") is None else P("tp")
+    return specs
+
+
+def encoder_param_specs(params: dict) -> dict:
+    lsp = {
+        "attn_norm_w": P(), "attn_norm_b": P(),
+        "wq": P(None, None, "tp"), "bq": P(None, "tp"),
+        "wk": P(None, None, "tp"), "bk": P(None, "tp"),
+        "wv": P(None, None, "tp"), "bv": P(None, "tp"),
+        "wo": P(None, "tp", None), "bo": P(),
+        "ffn_norm_w": P(), "ffn_norm_b": P(),
+        "w_up": P(None, None, "tp"), "b_up": P(None, "tp"),
+        "w_down": P(None, "tp", None), "b_down": P(),
+    }
+    return {
+        "conv1_w": P(), "conv1_b": P(), "conv2_w": P(), "conv2_b": P(),
+        "conv3_w": P(), "conv3_b": P(),
+        "conv_out_w": P(), "layers": lsp,
+        "ln_post_w": P(), "ln_post_b": P(),
+        "proj1_w": P(), "proj1_b": P(), "proj2_w": P(), "proj2_b": P(),
+    }
+
+
+def _shard(params: dict, specs: dict, mesh: Mesh) -> dict:
+    def place(path, leaf):
+        spec = specs
+        for k in path:
+            spec = spec[k.key]
+        if leaf is None:
+            return None
+        if spec is None:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_decoder_params(params: dict, mesh: Mesh) -> dict:
+    return _shard(params, decoder_param_specs(params), mesh)
+
+
+def shard_encoder_params(params: dict, mesh: Mesh) -> dict:
+    return _shard(params, encoder_param_specs(params), mesh)
+
+
+# ---------------------------------------------------------------------------
+# batched (data-parallel) serving step
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "max_tokens", "mesh"),
+)
+def batched_transcribe_step(
+    dec_params: dict,
+    cfg,
+    tokens,        # [B, P] int32 — per-utterance prompts, dp-sharded
+    n_prompt,      # [B] int32
+    audio,         # [B, N_max, hidden]
+    n_audio,       # [B] int32
+    audio_offset: int,
+    max_tokens: int,
+    mesh: Mesh | None = None,
+):
+    """vmapped greedy generation over a batch of utterances.
+
+    With `tokens`/`audio` sharded over the `dp` axis and weights sharded per
+    the tp rules, XLA runs dp-many independent decodes with tp-sharded
+    matmuls — the multi-file batch mode of BASELINE.json config 5.
+    """
+    from qwen3_asr_tpu.models.generate import generate_greedy
+
+    def one(tk, npr, au, na):
+        return generate_greedy(
+            dec_params, cfg, tk, npr, au, na, audio_offset, max_tokens
+        )
+
+    out, n_kept = jax.vmap(one)(tokens, n_prompt, audio, n_audio)
+    if mesh is not None:
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P("dp", None))
+        )
+    return out, n_kept

@@ -1,0 +1,194 @@
+"""Forced-alignment pipeline: audio + transcript -> word timestamps.
+
+API mirrors the reference ForcedAligner (forced_aligner.h:207-211):
+load_model, load_korean_dict, align(path|samples, text, language) -> words
+with (start, end) seconds.
+
+The decoder pass is a single jitted non-autoregressive causal forward with
+the classification head over all positions (reference:
+forced_aligner.cpp:1088-1169); timestamp extraction (argmax at <ts>
+positions), LIS repair and word pairing run on the host — they are O(words)
+string/DP work (forced_aligner.cpp:1280-1306, 1183-1265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.audio import generate_mel_filters, load_wav, log_mel_spectrogram
+from qwen3_asr_tpu.config import SAMPLE_RATE, AlignerModelConfig
+from qwen3_asr_tpu.models.decoder import classify_logits
+from qwen3_asr_tpu.models.encoder import encode_audio
+from qwen3_asr_tpu.models.generate import nar_forward
+from qwen3_asr_tpu.runtime.params import init_aligner_params, load_aligner_model
+from qwen3_asr_tpu.runtime.profiler import timer
+from qwen3_asr_tpu.text import (
+    BPETokenizer,
+    build_aligner_prompt,
+    classes_to_timestamps,
+    fix_timestamp_classes,
+    get_feat_extract_output_lengths,
+    load_korean_dict,
+    pair_words,
+    tokenize_korean,
+)
+
+
+@dataclasses.dataclass
+class AlignedWord:
+    word: str
+    start: float
+    end: float
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    success: bool = False
+    words: list = dataclasses.field(default_factory=list)
+    error_msg: str = ""
+    t_mel_ms: float = 0.0
+    t_encode_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    t_total_ms: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_offset"))
+def _nar_classify(dec_params, cfg, tokens, audio, n_audio, audio_offset):
+    h = nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset)
+    return classify_logits(dec_params, cfg, h)
+
+
+class ForcedAligner:
+    """Word-level timestamp alignment (model: Qwen3-ForcedAligner-0.6B)."""
+
+    def __init__(self, dtype=jnp.bfloat16):
+        self.dtype = dtype
+        self.cfg: AlignerModelConfig | None = None
+        self.params = None
+        self.tokenizer: BPETokenizer | None = None
+        self.ko_dict: set[str] = set()
+        self.error_msg = ""
+
+    def load_model(self, model_path: str) -> bool:
+        try:
+            self.cfg, self.params, vocab, merges = load_aligner_model(
+                model_path, self.dtype
+            )
+            self.tokenizer = BPETokenizer(vocab, merges)
+            self.mel_filters = generate_mel_filters()
+            self.params = jax.device_put(self.params)
+            return True
+        except Exception as e:
+            self.error_msg = f"Failed to load model: {e}"
+            return False
+
+    def load_random(self, cfg: AlignerModelConfig, seed: int = 0,
+                    vocab=None, merges=None) -> None:
+        self.cfg = cfg
+        self.params = init_aligner_params(cfg, seed, self.dtype)
+        self.tokenizer = BPETokenizer(vocab or [], merges or [])
+        self.mel_filters = generate_mel_filters()
+
+    def load_korean_dict(self, dict_path: str) -> bool:
+        try:
+            self.ko_dict = load_korean_dict(dict_path)
+            print(f"Korean dictionary loaded: {len(self.ko_dict)} words", flush=True)
+            return True
+        except OSError:
+            return False
+
+    # -- tokenization with timestamp slots ----------------------------------
+
+    def tokenize_with_timestamps(
+        self, text: str, language: str
+    ) -> tuple[list[int], list[str]]:
+        """Per-word BPE + 2 timestamp tokens appended per word
+        (forced_aligner.cpp:1564-1609)."""
+        if language == "korean" and self.ko_dict:
+            raw_words = tokenize_korean(text, self.ko_dict)
+        else:
+            raw_words = text.split()
+        ts_id = self.cfg.timestamp_token_id
+        tokens: list[int] = []
+        for w in raw_words:
+            tokens.extend(self.tokenizer.encode_piece(w))
+            tokens.append(ts_id)
+            tokens.append(ts_id)
+        return tokens, raw_words
+
+    # -- alignment -----------------------------------------------------------
+
+    def align(self, audio, text: str, language: str = "") -> AlignmentResult:
+        result = AlignmentResult()
+        if self.params is None:
+            result.error_msg = "Model not loaded"
+            return result
+
+        if isinstance(audio, str):
+            try:
+                samples, sr = load_wav(audio)
+            except Exception as e:
+                result.error_msg = f"Failed to load audio file: {e}"
+                return result
+            if sr != SAMPLE_RATE:
+                result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
+                return result
+        else:
+            samples = np.asarray(audio, dtype=np.float32)
+
+        t_total = time.perf_counter()
+        audio_duration = len(samples) / SAMPLE_RATE
+        dcfg = self.cfg.decoder
+
+        t0 = time.perf_counter()
+        with timer("fa.mel"):
+            mel = log_mel_spectrogram(samples, self.mel_filters)
+        result.t_mel_ms = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        with timer("fa.encode"):
+            audio_features = encode_audio(
+                self.params["encoder"], self.cfg.encoder, mel
+            )
+            audio_features.block_until_ready()
+        result.t_encode_ms = (time.perf_counter() - t0) * 1000
+        n_audio = int(audio_features.shape[0])
+
+        # pad count via the HF formula — must equal the encoder output length
+        # (forced_aligner.cpp:1670)
+        n_pads = get_feat_extract_output_lengths(mel.shape[1])
+
+        text_tokens, words = self.tokenize_with_timestamps(text, language)
+        input_tokens = build_aligner_prompt(text_tokens, n_pads, dcfg)
+        audio_offset = 1  # right after <audio_start> (forced_aligner.cpp:1331-1338)
+
+        t0 = time.perf_counter()
+        with timer("fa.decode"):
+            logits = _nar_classify(
+                self.params["decoder"], dcfg,
+                jnp.asarray(np.asarray(input_tokens, np.int32)),
+                audio_features, jnp.int32(n_audio), audio_offset,
+            )
+            logits = np.asarray(logits)
+        result.t_decode_ms = (time.perf_counter() - t0) * 1000
+
+        # host post-processing
+        ts_id = self.cfg.timestamp_token_id
+        ts_positions = [i for i, t in enumerate(input_tokens) if t == ts_id]
+        classes = [int(np.argmax(logits[i])) for i in ts_positions]
+        fixed = fix_timestamp_classes(classes)
+        timestamps = classes_to_timestamps(
+            fixed, self.cfg.timestamp_segment_time_ms
+        )
+        result.words = [
+            AlignedWord(**w) for w in pair_words(words, timestamps, audio_duration)
+        ]
+        result.success = True
+        result.t_total_ms = (time.perf_counter() - t_total) * 1000
+        return result

@@ -1,0 +1,203 @@
+"""High-level ASR pipeline: audio file/samples -> transcript.
+
+API mirrors the reference Qwen3ASR (qwen3_asr.h:66-79): load_model,
+transcribe(path|samples, params) -> result with text/tokens/timings, a
+progress callback hook, and the same error-message result surface.
+
+Execution model (TPU-first, nothing like the reference's internals):
+  mel (1 jit) -> encoder (1 jit per mel bucket) -> prefill + full greedy
+  decode loop (1 jit per prompt bucket). Three device dispatches per
+  utterance; the reference does O(tokens) graph rebuilds + host syncs
+  (qwen3_asr.cpp:216-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.audio import generate_mel_filters, load_wav, log_mel_spectrogram
+from qwen3_asr_tpu.config import SAMPLE_RATE, ASRModelConfig
+from qwen3_asr_tpu.models.encoder import encode_audio
+from qwen3_asr_tpu.models.generate import generate_greedy
+from qwen3_asr_tpu.runtime.params import init_asr_params, load_asr_model
+from qwen3_asr_tpu.runtime.profiler import timer
+from qwen3_asr_tpu.text import BPETokenizer, build_asr_prompt
+from qwen3_asr_tpu.text.prompt import audio_start_pos
+
+
+@dataclasses.dataclass
+class TranscribeParams:
+    max_tokens: int = 1024
+    language: str = ""            # accepted for CLI parity; unused by the
+                                  # model (reference: qwen3_asr.cpp:211)
+    system_prompt: str = ""
+    print_progress: bool = False
+    print_timing: bool = True
+    # shape-bucketing granularity for the prompt length (tokens)
+    prompt_bucket: int = 128
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    success: bool = False
+    text: str = ""
+    tokens: list = dataclasses.field(default_factory=list)
+    error_msg: str = ""
+    t_mel_ms: float = 0.0
+    t_encode_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    t_total_ms: float = 0.0
+
+
+class Qwen3ASR:
+    """End-to-end speech-to-text (model: Qwen3-ASR-0.6B GGUF)."""
+
+    def __init__(self, dtype=jnp.bfloat16):
+        self.dtype = dtype
+        self.cfg: ASRModelConfig | None = None
+        self.params = None
+        self.tokenizer: BPETokenizer | None = None
+        self._progress_cb: Callable[[int, int], None] | None = None
+        self.error_msg = ""
+
+    # -- loading -----------------------------------------------------------
+
+    def load_model(self, model_path: str) -> bool:
+        try:
+            t0 = time.perf_counter()
+            self.cfg, self.params, vocab, merges = load_asr_model(
+                model_path, self.dtype
+            )
+            self.tokenizer = BPETokenizer(vocab, merges)
+            self.mel_filters = generate_mel_filters()
+            self.params = jax.device_put(self.params)
+            print(
+                f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
+                flush=True,
+            )
+            return True
+        except Exception as e:  # same bool+error surface as the reference
+            self.error_msg = f"Failed to load model: {e}"
+            return False
+
+    def load_random(self, cfg: ASRModelConfig, seed: int = 0,
+                    vocab: list[str] | None = None,
+                    merges: list[str] | None = None) -> None:
+        """Synthetic weights (benchmarks / tests without model files)."""
+        self.cfg = cfg
+        self.params = init_asr_params(cfg, seed, self.dtype)
+        self.tokenizer = BPETokenizer(vocab or [], merges or [])
+        self.mel_filters = generate_mel_filters()
+
+    def set_progress_callback(self, cb: Callable[[int, int], None]) -> None:
+        self._progress_cb = cb
+
+    # -- transcription -------------------------------------------------------
+
+    def transcribe(self, audio, params: TranscribeParams | None = None) -> TranscribeResult:
+        """`audio`: path to 16 kHz mono WAV, or float32 sample array."""
+        params = params or TranscribeParams()
+        result = TranscribeResult()
+        if self.params is None:
+            result.error_msg = "Model not loaded"
+            return result
+
+        if isinstance(audio, str):
+            try:
+                samples, sr = load_wav(audio)
+            except Exception as e:
+                result.error_msg = f"Failed to load audio file: {e}"
+                return result
+            if sr != SAMPLE_RATE:
+                result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
+                return result
+        else:
+            samples = np.asarray(audio, dtype=np.float32)
+
+        return self._transcribe_samples(samples, params, result)
+
+    def _transcribe_samples(self, samples, params, result) -> TranscribeResult:
+        dcfg = self.cfg.decoder
+        t_total = time.perf_counter()
+
+        # 1. mel ------------------------------------------------------------
+        t0 = time.perf_counter()
+        with timer("mel_spectrogram"):
+            mel = log_mel_spectrogram(samples, self.mel_filters)
+        result.t_mel_ms = (time.perf_counter() - t0) * 1000
+        if params.print_progress:
+            print(f"Mel spectrogram: [{mel.shape[0]}, {mel.shape[1]}]", flush=True)
+
+        # 2. encoder ----------------------------------------------------------
+        t0 = time.perf_counter()
+        with timer("audio_encoding"):
+            audio_features = encode_audio(
+                self.params["encoder"], self.cfg.encoder, mel
+            )
+            audio_features.block_until_ready()
+        result.t_encode_ms = (time.perf_counter() - t0) * 1000
+        n_audio = int(audio_features.shape[0])
+        if params.print_progress:
+            print(f"Audio features: [{n_audio}, {audio_features.shape[1]}]", flush=True)
+
+        # 3. prompt + greedy decode -------------------------------------------
+        sys_tokens = (
+            self.tokenizer.encode(params.system_prompt)
+            if params.system_prompt
+            else None
+        )
+        prompt = build_asr_prompt(n_audio, dcfg, sys_tokens)
+        offset = audio_start_pos(prompt, dcfg)
+        n_prompt = len(prompt)
+        if params.print_progress:
+            print(f"Input tokens: {n_prompt}", flush=True)
+
+        bucket = params.prompt_bucket
+        P = -(-n_prompt // bucket) * bucket
+        toks = np.full(P, dcfg.pad_token_id, np.int32)
+        toks[:n_prompt] = prompt
+        # pad audio rows to the bucketed pad-token capacity
+        n_audio_cap = P - (n_prompt - n_audio)
+        audio_padded = jnp.zeros(
+            (n_audio_cap, dcfg.hidden_size), audio_features.dtype
+        )
+        audio_padded = jax.lax.dynamic_update_slice(
+            audio_padded, audio_features, (0, 0)
+        )
+
+        t0 = time.perf_counter()
+        with timer("decode.generate"):
+            out, n_kept = generate_greedy(
+                self.params["decoder"], dcfg,
+                jnp.asarray(toks), jnp.int32(n_prompt),
+                audio_padded, jnp.int32(n_audio), offset,
+                params.max_tokens,
+            )
+            out = np.asarray(out)
+            n_kept = int(n_kept)
+        result.t_decode_ms = (time.perf_counter() - t0) * 1000
+
+        result.tokens = [int(t) for t in out[:n_kept]]
+        if self._progress_cb:
+            self._progress_cb(n_kept, params.max_tokens)
+        result.text = self.tokenizer.decode(result.tokens)
+        result.success = True
+        result.t_total_ms = (time.perf_counter() - t_total) * 1000
+
+        if params.print_timing:
+            print(
+                "\nTiming:\n"
+                f"  Mel spectrogram: {result.t_mel_ms:.0f} ms\n"
+                f"  Audio encoding:  {result.t_encode_ms:.0f} ms\n"
+                f"  Text decoding:   {result.t_decode_ms:.0f} ms\n"
+                f"  Total:           {result.t_total_ms:.0f} ms\n"
+                f"  Tokens generated: {len(result.tokens)}",
+                flush=True,
+            )
+        return result

@@ -1,0 +1,71 @@
+"""Combined transcribe + align pipeline (reference: main.cpp:416-504)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from qwen3_asr_tpu.pipeline.aligner import AlignmentResult, ForcedAligner
+from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams, TranscribeResult
+from qwen3_asr_tpu.text import detect_language, extract_transcript
+
+
+@dataclasses.dataclass
+class TranscribeAlignResult:
+    success: bool = False
+    error_msg: str = ""
+    transcript: str = ""
+    detected_language: str = ""
+    asr: TranscribeResult | None = None
+    alignment: AlignmentResult | None = None
+
+
+def transcribe_and_align(
+    asr: Qwen3ASR,
+    aligner: ForcedAligner,
+    audio,
+    params: TranscribeParams | None = None,
+    language_override: str = "",
+) -> TranscribeAlignResult:
+    """ASR -> language detection from the 'language Xxx' prefix ->
+    transcript extraction -> forced alignment with the detected language."""
+    out = TranscribeAlignResult()
+
+    asr_result = asr.transcribe(audio, params)
+    out.asr = asr_result
+    if not asr_result.success:
+        out.error_msg = f"ASR failed: {asr_result.error_msg}"
+        return out
+
+    detected = detect_language(asr_result.text)
+    align_lang = language_override or detected
+    transcript = extract_transcript(asr_result.text)
+    out.detected_language = detected
+    out.transcript = transcript
+
+    align_result = aligner.align(audio, transcript, align_lang)
+    out.alignment = align_result
+    if not align_result.success:
+        out.error_msg = f"Alignment failed: {align_result.error_msg}"
+        return out
+
+    out.success = True
+    return out
+
+
+def alignment_to_json(result: AlignmentResult) -> str:
+    """Same JSON shape as the reference CLI (main.cpp:255-273)."""
+    import json
+
+    def esc(s: str) -> str:
+        return json.dumps(s, ensure_ascii=False)[1:-1]
+
+    lines = ['{\n  "words": [']
+    rows = []
+    for w in result.words:
+        rows.append(
+            f'    {{"word": "{esc(w.word)}", "start": {w.start:.3f}, '
+            f'"end": {w.end:.3f}}}'
+        )
+    lines.append(",\n".join(rows))
+    lines.append("  ]\n}")
+    return "\n".join(lines)

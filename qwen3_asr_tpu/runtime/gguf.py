@@ -103,12 +103,27 @@ class TensorInfo:
         return _TYPE_NAMES.get(self.ggml_type, str(self.ggml_type))
 
 
-def dequantize_q8_0(raw: np.ndarray, n_elements: int) -> np.ndarray:
-    """Decode Q8_0 blocks (uint8 raw bytes) -> float32 [n_elements]."""
+def dequantize_q8_0_py(raw: np.ndarray, n_elements: int) -> np.ndarray:
+    """Pure-numpy Q8_0 decode (also the oracle for the native version)."""
     blocks = raw.reshape(-1, _Q8_BLOCK_BYTES)
     scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # [n,1]
     qs = blocks[:, 2:].view(np.int8).astype(np.float32)
     return (qs * scales).reshape(-1)[:n_elements]
+
+
+def dequantize_q8_0(raw: np.ndarray, n_elements: int) -> np.ndarray:
+    """Decode Q8_0 blocks (uint8 raw bytes) -> float32 [n_elements].
+
+    Uses the native C++ decoder when built (native/qwen3_host.cpp)."""
+    try:
+        from qwen3_asr_tpu.runtime import native
+
+        out = native.q8_0_dequant(raw, n_elements)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return dequantize_q8_0_py(raw, n_elements)
 
 
 def q8_0_views(raw: np.ndarray, n_elements: int) -> tuple[np.ndarray, np.ndarray]:
@@ -161,7 +176,14 @@ class GGUFFile:
         self.data_offset = (r.pos + alignment - 1) // alignment * alignment
 
     def close(self):
-        self._mm.close()
+        """Best-effort close: numpy views handed out by get() keep the mmap
+        alive (zero-copy contract, like the reference's mmap that must
+        outlive its tensors, gguf_loader.h:93-95); in that case the mapping
+        is released when the views are garbage collected."""
+        try:
+            self._mm.close()
+        except BufferError:
+            pass
         self._file.close()
 
     def raw_bytes(self, name: str) -> np.ndarray:

@@ -59,6 +59,10 @@ def decoder_config_from_gguf(g: GGUFFile, classify: bool) -> DecoderConfig:
         audio_start_token_id=_get(md, "qwen3-asr.audio.start_token_id", 151669),
         audio_end_token_id=_get(md, "qwen3-asr.audio.end_token_id", 151670),
         audio_pad_token_id=_get(md, "qwen3-asr.audio.pad_token_id", 151676),
+        # the reference hardcodes these (text_decoder.cpp:140-141); we read
+        # the converter's tokenizer keys when present, defaulting identically
+        eos_token_id=_get(md, "tokenizer.ggml.eos_token_id", 151645),
+        pad_token_id=_get(md, "tokenizer.ggml.padding_token_id", 151643),
         classify_num=_get(md, "qwen3-asr.classify_num", 5000) if classify else None,
     )
 

@@ -64,6 +64,17 @@ class BPETokenizer:
         self.token_to_id = {t: i for i, t in enumerate(vocab)}
         # rank by position in the merges list (text_decoder.cpp:823-830)
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        # native C++ encoder when the host library is built (tested
+        # equivalent in tests/test_native.py)
+        self._native = None
+        if vocab:
+            try:
+                from qwen3_asr_tpu.runtime import native
+
+                if native.available():
+                    self._native = native.NativeBPE(vocab, merges)
+            except Exception:
+                self._native = None
 
     # -- encoding ----------------------------------------------------------
 
@@ -90,6 +101,8 @@ class BPETokenizer:
 
     def encode_piece(self, text: str) -> list[int]:
         """BPE-encode one piece (no whitespace pre-splitting)."""
+        if self._native is not None:
+            return self._native.encode_piece(text)
         bpe_str = bytes_to_bpe_string(text.encode("utf-8"))
         ids = []
         for sw in self._encode_word(bpe_str):

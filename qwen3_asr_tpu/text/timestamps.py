@@ -22,8 +22,25 @@ def fix_timestamp_classes(data: list[int]) -> list[int]:
 
     Values on the LIS are kept; runs of anomalies of length <= 2 snap to the
     nearer valid neighbor (ties toward the left), longer runs are linearly
-    interpolated. Exact port of forced_aligner.cpp:1183-1265.
+    interpolated. Exact port of forced_aligner.cpp:1183-1265. Uses the
+    native C++ implementation when built (native/qwen3_host.cpp).
     """
+    if len(data) == 0:
+        return []
+    try:
+        from qwen3_asr_tpu.runtime import native
+
+        if native.available():
+            out = native.lis_repair(list(data))
+            if out is not None:
+                return out
+    except Exception:
+        pass
+    return fix_timestamp_classes_py(data)
+
+
+def fix_timestamp_classes_py(data: list[int]) -> list[int]:
+    """Pure-Python LIS repair (oracle for the native version)."""
     n = len(data)
     if n == 0:
         return []

@@ -5,7 +5,7 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # deterministic, full-precision matmuls on CPU
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+# persistent compile cache: CPU jit of the scan-based models is slow
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 import pytest

@@ -1,0 +1,97 @@
+"""CLI smoke tests (reference contract: main.cpp modes, stdout data,
+stderr diagnostics, exit 1 on error)."""
+
+import json
+import subprocess
+import sys
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.audio import write_wav
+from qwen3_asr_tpu.cli import build_parser, find_korean_dict, main
+from qwen3_asr_tpu.config import tiny_aligner_config, tiny_asr_config
+from qwen3_asr_tpu.runtime.params import init_aligner_params, init_asr_params
+
+from helpers import make_byte_vocab, write_tiny_gguf
+
+
+def make_models(tmp_path):
+    cfg = tiny_asr_config()
+    params = jax.tree.map(np.asarray, init_asr_params(cfg, 3, jnp.float32))
+    vocab = make_byte_vocab(cfg.decoder.vocab_size, {
+        cfg.decoder.eos_token_id: "<|im_end|>",
+        cfg.decoder.audio_pad_token_id: "<|audio_pad|>",
+    })
+    asr_path = str(tmp_path / "asr.gguf")
+    write_tiny_gguf(asr_path, cfg, params, vocab=vocab, merges=[])
+
+    fcfg = tiny_aligner_config()
+    fparams = jax.tree.map(np.asarray, init_aligner_params(fcfg, 4, jnp.float32))
+    fvocab = make_byte_vocab(fcfg.decoder.vocab_size, {
+        fcfg.timestamp_token_id: "<|ts|>",
+    })
+    fa_path = str(tmp_path / "fa.gguf")
+    write_tiny_gguf(fa_path, fcfg, fparams, aligner=True, vocab=fvocab, merges=[])
+    return asr_path, fa_path
+
+
+def test_arg_validation():
+    # --align without --text
+    assert main(["-f", "x.wav", "--align"]) == 1
+    # --transcribe-align without aligner model
+    assert main(["-f", "x.wav", "--transcribe-align"]) == 1
+    # --align + --transcribe-align
+    assert main(["-f", "x.wav", "--align", "--text", "t",
+                 "--transcribe-align"]) == 1
+
+
+def test_missing_audio_file(tmp_path):
+    asr_path, _ = make_models(tmp_path)
+    rc = main(["-m", asr_path, "-f", str(tmp_path / "nope.wav"),
+               "--dtype", "float32", "--no-timing"])
+    assert rc == 1
+
+
+def test_transcribe_mode(tmp_path, capsys):
+    asr_path, _ = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    rc = main(["-m", asr_path, "-f", wav, "--max-tokens", "4",
+               "--dtype", "float32", "--no-timing", "--tokens"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.endswith("\n")
+
+
+def test_align_mode_json_output(tmp_path, capsys):
+    _, fa_path = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    out_file = str(tmp_path / "out.json")
+    rc = main(["-m", fa_path, "-f", wav, "--align", "--text", "hello world",
+               "--dtype", "float32", "--no-timing", "-o", out_file])
+    assert rc == 0
+    with open(out_file) as f:
+        data = json.load(f)
+    assert "words" in data
+    assert [w["word"] for w in data["words"]] == ["hello", "world"]
+    for w in data["words"]:
+        assert set(w) == {"word", "start", "end"}
+
+
+def test_find_korean_dict(tmp_path):
+    model_dir = tmp_path / "models"
+    assets = tmp_path / "assets"
+    model_dir.mkdir()
+    assets.mkdir()
+    (assets / "korean_dict_jieba.dict").write_text("word 1 N\n")
+    found = find_korean_dict(str(model_dir / "m.gguf"))
+    assert found.endswith("korean_dict_jieba.dict")

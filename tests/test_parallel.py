@@ -1,0 +1,106 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: dp/tp sharded
+execution must reproduce single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.models.generate import generate_greedy
+from qwen3_asr_tpu.parallel.mesh import (
+    batched_transcribe_step,
+    make_mesh,
+    shard_decoder_params,
+    shard_encoder_params,
+)
+from qwen3_asr_tpu.runtime.params import init_asr_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=5, dtype=jnp.float32)
+    return cfg, params
+
+
+def make_batch(cfg, rng, B=4, Pr=16, n_audio=4):
+    dcfg = cfg.decoder
+    prompts = np.full((B, Pr), 1, np.int32)
+    prompts[:, 0] = rng.integers(2, 50, size=B)  # vary per-utterance
+    prompts[:, 2 : 2 + n_audio] = dcfg.audio_pad_token_id
+    n_prompt = np.full((B,), 2 + n_audio + 2, np.int32)
+    audio = rng.standard_normal((B, n_audio, dcfg.hidden_size)).astype(np.float32)
+    n_audio_arr = np.full((B,), n_audio, np.int32)
+    return prompts, n_prompt, audio, n_audio_arr
+
+
+def single_device_reference(cfg, params, batch, max_tokens):
+    prompts, n_prompt, audio, n_audio_arr = batch
+    outs, keeps = [], []
+    for b in range(prompts.shape[0]):
+        out, n_kept = generate_greedy(
+            params["decoder"], cfg.decoder,
+            jnp.asarray(prompts[b]), jnp.int32(n_prompt[b]),
+            jnp.asarray(audio[b]), jnp.int32(n_audio_arr[b]), 2, max_tokens,
+            cache_dtype=jnp.float32,
+        )
+        outs.append(np.asarray(out))
+        keeps.append(int(n_kept))
+    return np.stack(outs), np.asarray(keeps)
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_dp_tp_matches_single_device(setup, rng, tp):
+    cfg, params = setup
+    mesh = make_mesh(8, tp=tp)
+    batch = make_batch(cfg, rng)
+    max_tokens = 4
+
+    ref_out, ref_keep = single_device_reference(cfg, params, batch, max_tokens)
+
+    dec = shard_decoder_params(params["decoder"], mesh)
+    prompts, n_prompt, audio, n_audio_arr = batch
+    toks = jax.device_put(prompts, NamedSharding(mesh, P("dp", None)))
+    npr = jax.device_put(n_prompt, NamedSharding(mesh, P("dp")))
+    au = jax.device_put(audio, NamedSharding(mesh, P("dp", None, None)))
+    na = jax.device_put(n_audio_arr, NamedSharding(mesh, P("dp")))
+
+    with mesh:
+        out, n_kept = batched_transcribe_step(
+            dec, cfg.decoder, toks, npr, au, na, 2, max_tokens, mesh=mesh
+        )
+    out = np.asarray(out)
+    n_kept = np.asarray(n_kept)
+
+    np.testing.assert_array_equal(n_kept, ref_keep)
+    for b in range(out.shape[0]):
+        np.testing.assert_array_equal(out[b, : ref_keep[b]],
+                                      ref_out[b, : ref_keep[b]])
+
+
+def test_tp_encoder_matches_single_device(setup, rng):
+    from qwen3_asr_tpu.models.encoder import encode_audio
+
+    cfg, params = setup
+    mesh = make_mesh(8, tp=8)
+    mel = rng.standard_normal((128, 150)).astype(np.float32)
+
+    ref = np.asarray(encode_audio(params["encoder"], cfg.encoder, mel))
+    enc_sharded = shard_encoder_params(params["encoder"], mesh)
+    with mesh:
+        out = np.asarray(encode_audio(enc_sharded, cfg.encoder, mel))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=0)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
