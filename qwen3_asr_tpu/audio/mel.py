@@ -159,12 +159,24 @@ def _dft_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def _mel_device(padded, filters_t, n_frames: int):
+    """`padded` must have length (n_frames + 2) * HOP_LENGTH (zero-filled).
+
+    Framing uses reshape+slice+concat (HOP=160 rows; a 400-sample frame is
+    rows [i, i+1] plus half of row [i+2]) instead of a gather — gathers are
+    slow on TPU.
+    """
     hann, cos_t, sin_t = _dft_tables()
     hann = jnp.asarray(hann)
-    idx = (
-        jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    rows = padded.reshape(n_frames + 2, HOP_LENGTH)
+    frames = jnp.concatenate(
+        [
+            rows[:n_frames],
+            rows[1 : n_frames + 1],
+            rows[2 : n_frames + 2, : N_FFT - 2 * HOP_LENGTH],
+        ],
+        axis=1,
     )
-    frames = padded[idx] * hann[None, :]
+    frames = frames * hann[None, :]
     hi = jax.lax.Precision.HIGHEST
     re = jnp.dot(frames, jnp.asarray(cos_t), precision=hi)
     im = jnp.dot(frames, jnp.asarray(sin_t), precision=hi)
@@ -176,12 +188,17 @@ def _mel_device(padded, filters_t, n_frames: int):
 
 
 def log_mel_spectrogram(
-    samples: np.ndarray, filters: np.ndarray | None = None, bucket: int = 0
-) -> np.ndarray:
-    """Device log-mel spectrogram. Returns float32 numpy [n_mels, n_frames].
+    samples: np.ndarray,
+    filters: np.ndarray | None = None,
+    bucket: int = 0,
+    as_numpy: bool = True,
+):
+    """Device log-mel spectrogram -> float32 [n_mels, n_frames].
 
     `bucket`: optional frame-count rounding (pad-and-truncate) to bound the
     number of compiled shapes when streaming many files; 0 = exact shape.
+    `as_numpy=False` keeps the result on device (feed it straight into the
+    encoder; avoids a device->host->device round trip of the spectrogram).
     """
     if filters is None:
         filters = generate_mel_filters()
@@ -192,19 +209,13 @@ def log_mel_spectrogram(
 
     padded = reflect_pad(samples)
     need = (n_frames - 1) * HOP_LENGTH + N_FFT
-    if bucket > 0:
-        padded_frames = -(-n_frames // bucket) * bucket
-        need_b = (padded_frames - 1) * HOP_LENGTH + N_FFT
-        buf = np.zeros(need_b, dtype=np.float32)
-        # copy only the samples the valid frames can see: frames past
-        # n_frames must be all-zero so they cannot perturb the global max
-        # (the reference computes the max over n_len frames only,
-        # mel_spectrogram.cpp:603-612).
-        buf[: min(need, need_b)] = padded[: min(need, need_b)]
-        out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), padded_frames)
-        out = np.asarray(out)[:n_frames]
-    else:
-        out = np.asarray(
-            _mel_device(jnp.asarray(padded[:need]), jnp.asarray(filters.T), n_frames)
-        )
-    return out.T  # [n_mels, n_frames]
+    dev_frames = -(-n_frames // bucket) * bucket if bucket > 0 else n_frames
+    buf = np.zeros((dev_frames + 2) * HOP_LENGTH, dtype=np.float32)
+    # copy only the samples the valid frames can see: extra bucketed frames
+    # must be all-zero so they cannot perturb the global max (the reference
+    # computes the max over n_len frames only, mel_spectrogram.cpp:603-612)
+    n_copy = min(need, len(padded), len(buf))
+    buf[:n_copy] = padded[:n_copy]
+    out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), dev_frames)
+    out = out[:n_frames].T  # [n_mels, n_frames]
+    return np.asarray(out) if as_numpy else out

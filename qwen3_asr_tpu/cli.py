@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Forced aligner GGUF (required with --transcribe-align)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="On-device compute dtype")
+    p.add_argument("--platform", default="",
+                   help="Force a JAX platform (e.g. 'cpu', 'tpu'); default: auto")
     return p
 
 
@@ -87,8 +89,20 @@ def main(argv: list[str] | None = None) -> int:
         _eprint("Error: --aligner-model is required for --transcribe-align")
         return 1
 
+    # persistent XLA compile cache: repeat invocations skip compilation
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/qwen3_asr_tpu/xla"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
     # heavy imports after arg validation
+    import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
     from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams

@@ -82,6 +82,16 @@ class DecoderConfig:
     audio_end_token_id: int = 151670
     audio_pad_token_id: int = 151676
 
+    # chat-template token ids (hardcoded in the reference,
+    # qwen3_asr.cpp:170-175; parameterized here so tiny test configs can
+    # stay within their vocab)
+    im_start_token_id: int = IM_START
+    im_end_token_id: int = IM_END
+    system_token_id: int = SYSTEM_TOKEN
+    user_token_id: int = USER_TOKEN
+    assistant_token_id: int = ASSISTANT_TOKEN
+    newline_token_id: int = NEWLINE_TOKEN
+
     # forced-aligner head: when set, logits come from a `classify_num`-way
     # classification head over ALL positions instead of the tied lm head on
     # the last position (reference: forced_aligner.cpp:1073-1076).
@@ -150,6 +160,12 @@ def tiny_asr_config(vocab_size: int = 512) -> ASRModelConfig:
             audio_start_token_id=vocab_size - 4,
             audio_end_token_id=vocab_size - 3,
             audio_pad_token_id=vocab_size - 2,
+            im_start_token_id=vocab_size - 6,
+            im_end_token_id=vocab_size - 1,   # = eos, like the reference
+            system_token_id=vocab_size - 7,
+            user_token_id=vocab_size - 8,
+            assistant_token_id=vocab_size - 9,
+            newline_token_id=vocab_size - 10,
         ),
     )
 

@@ -85,6 +85,42 @@ def embed_with_audio(
     return jnp.where(is_audio[:, None], audio_rows, h)
 
 
+def _cached_attention(q, k_cache, v_cache, k_new, v_new,
+                      cache_mask, block_mask, scale):
+    """Attention over (cache rows) + (this block's fresh K/V), one softmax.
+
+    Avoids writing the block's K/V into the cache before reading it back —
+    the scan would otherwise materialize a full cache copy per layer per
+    step. Cache rows >= cache_offset are never read (they hold stale data).
+
+    q: [T, nh, d]; k_cache/v_cache: [S, nkv, d]; k_new/v_new: [T, nkv, d];
+    cache_mask: [S] bool; block_mask: [T, T] bool.
+    """
+    T, n_heads, head_dim = q.shape
+    n_kv = k_cache.shape[1]
+    group = n_heads // n_kv
+    qg = q.reshape(T, n_kv, group, head_dim)
+
+    sc = jnp.einsum("tkgd,skd->kgts", qg, k_cache.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    sb = jnp.einsum("tkgd,skd->kgts", qg, k_new,
+                    preferred_element_type=jnp.float32)
+    neg = jnp.float32(-jnp.inf)
+    sc = jnp.where(cache_mask[None, None, None, :], sc * scale, neg)
+    sb = jnp.where(block_mask[None, None, :, :], sb * scale, neg)
+
+    s_all = jnp.concatenate([sc, sb], axis=-1)
+    p_all = jax.nn.softmax(s_all, axis=-1)
+    S = k_cache.shape[0]
+    pc = p_all[..., :S].astype(v_cache.dtype)
+    pb = p_all[..., S:].astype(v_new.dtype)
+    out = jnp.einsum("kgts,skd->tkgd", pc, v_cache,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("kgts,skd->tkgd", pb, v_new,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(T, n_heads, head_dim).astype(q.dtype)
+
+
 def decoder_forward(
     dec_params: dict,
     cfg: DecoderConfig,
@@ -96,15 +132,26 @@ def decoder_forward(
 ) -> tuple[jax.Array, dict]:
     """Run all layers; returns (hidden [T, hidden], updated kv_cache).
 
-    Attention of row t spans cache[s] for s <= cache_offset + t, s < kv_valid_len.
+    Attention of row t spans cache[s] for s < cache_offset plus block rows
+    j <= t (subject to kv_valid_len, which masks right-padding rows).
+    The scan emits only this block's K/V rows; the cache is updated with a
+    single [L, T] dynamic_update_slice afterwards.
     """
     T = h.shape[0]
     S = kv_cache["k"].shape[1]
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
+    cache_dtype = kv_cache["k"].dtype
 
+    offset = jnp.asarray(cache_offset, jnp.int32)
+    valid = jnp.asarray(kv_valid_len, jnp.int32)
+
+    cols_s = jnp.arange(S)
+    cache_mask = cols_s < jnp.minimum(offset, valid)          # [S]
     rows = jnp.arange(T)[:, None]
-    cols = jnp.arange(S)[None, :]
-    mask = (cols <= cache_offset + rows) & (cols < kv_valid_len)
+    cols = jnp.arange(T)[None, :]
+    # right-padding rows keep their diagonal visible so their softmax stays
+    # finite (their outputs/cache rows are never read)
+    block_mask = (cols <= rows) & ((offset + cols < valid) | (cols == rows))
 
     def body(carry, xs):
         x_in = carry
@@ -120,28 +167,27 @@ def decoder_forward(
         q = rope_neox(q, positions, cfg.rope_theta)
         k = rope_neox(k, positions, cfg.rope_theta)
 
-        zero = jnp.zeros((), cache_offset.dtype) if hasattr(cache_offset, "dtype") else 0
-        k_full = jax.lax.dynamic_update_slice(
-            k_cache_l, k.astype(k_cache_l.dtype), (cache_offset, zero, zero)
-        )
-        v_full = jax.lax.dynamic_update_slice(
-            v_cache_l, v.astype(v_cache_l.dtype), (cache_offset, zero, zero)
-        )
-
-        attn = mha_attention(q, k_full.astype(q.dtype), v_full.astype(q.dtype),
-                             mask, scale)
+        attn = _cached_attention(q, k_cache_l, v_cache_l, k, v,
+                                 cache_mask, block_mask, scale)
         x = attn.reshape(T, cfg.n_heads * cfg.head_dim) @ lp["wo"]
         h1 = x_in + x
 
         x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(x @ lp["w_gate"])
         x = (gate * (x @ lp["w_up"])) @ lp["w_down"]
-        return h1 + x, (k_full, v_full)
+        return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
-    h_out, (k_new, v_new) = jax.lax.scan(
+    h_out, (k_rows, v_rows) = jax.lax.scan(
         body, h, (dec_params["layers"], kv_cache["k"], kv_cache["v"])
     )
-    return h_out, {"k": k_new, "v": v_new}
+    zero = jnp.int32(0)
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(
+            kv_cache["k"], k_rows, (zero, offset, zero, zero)),
+        "v": jax.lax.dynamic_update_slice(
+            kv_cache["v"], v_rows, (zero, offset, zero, zero)),
+    }
+    return h_out, new_cache
 
 
 def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Array:

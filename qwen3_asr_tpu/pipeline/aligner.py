@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 import time
 
 import jax
@@ -98,7 +99,7 @@ class ForcedAligner:
     def load_korean_dict(self, dict_path: str) -> bool:
         try:
             self.ko_dict = load_korean_dict(dict_path)
-            print(f"Korean dictionary loaded: {len(self.ko_dict)} words", flush=True)
+            print(f"Korean dictionary loaded: {len(self.ko_dict)} words", file=sys.stderr, flush=True)
             return True
         except OSError:
             return False
@@ -148,7 +149,7 @@ class ForcedAligner:
 
         t0 = time.perf_counter()
         with timer("fa.mel"):
-            mel = log_mel_spectrogram(samples, self.mel_filters)
+            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
         result.t_mel_ms = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()

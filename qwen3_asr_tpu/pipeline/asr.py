@@ -14,6 +14,7 @@ Execution model (TPU-first, nothing like the reference's internals):
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Callable
 
@@ -79,7 +80,7 @@ class Qwen3ASR:
             self.params = jax.device_put(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
-                flush=True,
+                file=sys.stderr, flush=True,
             )
             return True
         except Exception as e:  # same bool+error surface as the reference
@@ -129,10 +130,10 @@ class Qwen3ASR:
         # 1. mel ------------------------------------------------------------
         t0 = time.perf_counter()
         with timer("mel_spectrogram"):
-            mel = log_mel_spectrogram(samples, self.mel_filters)
+            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
         result.t_mel_ms = (time.perf_counter() - t0) * 1000
         if params.print_progress:
-            print(f"Mel spectrogram: [{mel.shape[0]}, {mel.shape[1]}]", flush=True)
+            print(f"Mel spectrogram: [{mel.shape[0]}, {mel.shape[1]}]", file=sys.stderr, flush=True)
 
         # 2. encoder ----------------------------------------------------------
         t0 = time.perf_counter()
@@ -144,7 +145,7 @@ class Qwen3ASR:
         result.t_encode_ms = (time.perf_counter() - t0) * 1000
         n_audio = int(audio_features.shape[0])
         if params.print_progress:
-            print(f"Audio features: [{n_audio}, {audio_features.shape[1]}]", flush=True)
+            print(f"Audio features: [{n_audio}, {audio_features.shape[1]}]", file=sys.stderr, flush=True)
 
         # 3. prompt + greedy decode -------------------------------------------
         sys_tokens = (
@@ -156,7 +157,7 @@ class Qwen3ASR:
         offset = audio_start_pos(prompt, dcfg)
         n_prompt = len(prompt)
         if params.print_progress:
-            print(f"Input tokens: {n_prompt}", flush=True)
+            print(f"Input tokens: {n_prompt}", file=sys.stderr, flush=True)
 
         bucket = params.prompt_bucket
         P = -(-n_prompt // bucket) * bucket
@@ -198,6 +199,6 @@ class Qwen3ASR:
                 f"  Text decoding:   {result.t_decode_ms:.0f} ms\n"
                 f"  Total:           {result.t_total_ms:.0f} ms\n"
                 f"  Tokens generated: {len(result.tokens)}",
-                flush=True,
+                file=sys.stderr, flush=True,
             )
         return result

@@ -63,6 +63,14 @@ def decoder_config_from_gguf(g: GGUFFile, classify: bool) -> DecoderConfig:
         # the converter's tokenizer keys when present, defaulting identically
         eos_token_id=_get(md, "tokenizer.ggml.eos_token_id", 151645),
         pad_token_id=_get(md, "tokenizer.ggml.padding_token_id", 151643),
+        # chat-template ids: hardcoded in the reference (qwen3_asr.cpp:170-175),
+        # stored under extension keys by our writer for non-Qwen vocabs
+        im_start_token_id=_get(md, "qwen3-asr.chat.im_start_token_id", 151644),
+        im_end_token_id=_get(md, "qwen3-asr.chat.im_end_token_id", 151645),
+        system_token_id=_get(md, "qwen3-asr.chat.system_token_id", 8948),
+        user_token_id=_get(md, "qwen3-asr.chat.user_token_id", 872),
+        assistant_token_id=_get(md, "qwen3-asr.chat.assistant_token_id", 77091),
+        newline_token_id=_get(md, "qwen3-asr.chat.newline_token_id", 198),
         classify_num=_get(md, "qwen3-asr.classify_num", 5000) if classify else None,
     )
 

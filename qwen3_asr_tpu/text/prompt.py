@@ -7,15 +7,7 @@ detection / transcript extraction (main.cpp:163-228).
 
 from __future__ import annotations
 
-from qwen3_asr_tpu.config import (
-    ASSISTANT_TOKEN,
-    IM_END,
-    IM_START,
-    NEWLINE_TOKEN,
-    SYSTEM_TOKEN,
-    USER_TOKEN,
-    DecoderConfig,
-)
+from qwen3_asr_tpu.config import DecoderConfig
 
 
 def build_asr_prompt(
@@ -26,14 +18,17 @@ def build_asr_prompt(
     """<|im_start|>system\\n{sys}<|im_end|>\\n<|im_start|>user\\n
     <|audio_start|><|audio_pad|>*N<|audio_end|><|im_end|>\\n
     <|im_start|>assistant\\n  (qwen3_asr.cpp:151-214)."""
-    toks = [IM_START, SYSTEM_TOKEN, NEWLINE_TOKEN]
+    toks = [cfg.im_start_token_id, cfg.system_token_id, cfg.newline_token_id]
     if system_prompt_tokens:
         toks.extend(system_prompt_tokens)
-    toks += [IM_END, NEWLINE_TOKEN, IM_START, USER_TOKEN, NEWLINE_TOKEN]
+    toks += [cfg.im_end_token_id, cfg.newline_token_id,
+             cfg.im_start_token_id, cfg.user_token_id, cfg.newline_token_id]
     toks.append(cfg.audio_start_token_id)
     toks.extend([cfg.audio_pad_token_id] * n_audio_frames)
     toks.append(cfg.audio_end_token_id)
-    toks += [IM_END, NEWLINE_TOKEN, IM_START, ASSISTANT_TOKEN, NEWLINE_TOKEN]
+    toks += [cfg.im_end_token_id, cfg.newline_token_id,
+             cfg.im_start_token_id, cfg.assistant_token_id,
+             cfg.newline_token_id]
     return toks
 
 

@@ -18,6 +18,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import jax
+
+# the environment's axon plugin force-registers itself ("axon,cpu") and wins
+# over the env var; an explicit config update takes priority.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

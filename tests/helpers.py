@@ -71,6 +71,12 @@ def write_tiny_gguf(
 
     w.add_u32("tokenizer.ggml.eos_token_id", dec_cfg.eos_token_id)
     w.add_u32("tokenizer.ggml.padding_token_id", dec_cfg.pad_token_id)
+    w.add_u32("qwen3-asr.chat.im_start_token_id", dec_cfg.im_start_token_id)
+    w.add_u32("qwen3-asr.chat.im_end_token_id", dec_cfg.im_end_token_id)
+    w.add_u32("qwen3-asr.chat.system_token_id", dec_cfg.system_token_id)
+    w.add_u32("qwen3-asr.chat.user_token_id", dec_cfg.user_token_id)
+    w.add_u32("qwen3-asr.chat.assistant_token_id", dec_cfg.assistant_token_id)
+    w.add_u32("qwen3-asr.chat.newline_token_id", dec_cfg.newline_token_id)
     if vocab is not None:
         w.add_str_array("tokenizer.ggml.tokens", vocab)
     if merges is not None:

@@ -56,7 +56,7 @@ def single_device_reference(cfg, params, batch, max_tokens):
 def test_dp_tp_matches_single_device(setup, rng, tp):
     cfg, params = setup
     mesh = make_mesh(8, tp=tp)
-    batch = make_batch(cfg, rng)
+    batch = make_batch(cfg, rng, B=8 // tp)
     max_tokens = 4
 
     ref_out, ref_keep = single_device_reference(cfg, params, batch, max_tokens)

@@ -52,7 +52,14 @@ def tiny_gguf(tmp_path_factory):
 def test_loader_roundtrip(tiny_gguf):
     path, cfg, params_np = tiny_gguf
     loaded_cfg, loaded, vocab, merges = load_asr_model(path, dtype=jnp.float32)
-    assert loaded_cfg.decoder == cfg.decoder
+    import dataclasses
+    for f in dataclasses.fields(cfg.decoder):
+        a = getattr(loaded_cfg.decoder, f.name)
+        b = getattr(cfg.decoder, f.name)
+        if isinstance(b, float):
+            assert a == pytest.approx(b, rel=1e-6), f.name  # f32 round trip
+        else:
+            assert a == b, f.name
     assert loaded_cfg.encoder.n_layers == cfg.encoder.n_layers
     assert loaded_cfg.encoder.d_model == cfg.encoder.d_model
     assert len(vocab) == cfg.decoder.vocab_size
