@@ -41,11 +41,16 @@ def main():
     n_decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "323"))
     gguf = os.environ.get("QWEN3_ASR_GGUF", "")
 
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
     if gguf:
         cfg, params, _, _ = load_asr_model(gguf, jnp.bfloat16)
     else:
         cfg = ASRModelConfig()
         params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if quant:
+        from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+
+        params["decoder"] = quantize_decoder_params(params["decoder"])
     params = jax.device_put(params)
     dcfg = cfg.decoder
     # force a fixed-length decode: EOS id outside the argmax range
@@ -113,7 +118,8 @@ def main():
             "vs_baseline_total_ms": round(5007 / best["total_ms"], 2),
             "vs_baseline_tok_s": round(tok_s / 77.0, 2),
             "device": str(jax.devices()[0]),
-            "weights": "gguf" if gguf else "synthetic-bf16",
+            "weights": ("gguf" if gguf else "synthetic-bf16")
+            + ("+q8_0" if quant else ""),
         },
     }
     print(json.dumps(result))

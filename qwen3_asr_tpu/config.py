@@ -145,11 +145,11 @@ def tiny_asr_config(vocab_size: int = 512) -> ASRModelConfig:
             n_heads=4,
             ffn_dim=64,
             conv_channels=8,
-            output_dim=48,
+            output_dim=64,
         ),
         decoder=DecoderConfig(
             vocab_size=vocab_size,
-            hidden_size=48,
+            hidden_size=64,
             n_layers=2,
             n_heads=4,
             n_kv_heads=2,
@@ -178,12 +178,12 @@ def tiny_aligner_config(vocab_size: int = 512) -> AlignerModelConfig:
             n_heads=4,
             ffn_dim=64,
             conv_channels=8,
-            output_dim=48,
+            output_dim=64,
             n_window_infer=800,
         ),
         decoder=DecoderConfig(
             vocab_size=vocab_size,
-            hidden_size=48,
+            hidden_size=64,
             n_layers=2,
             n_heads=4,
             n_kv_heads=2,

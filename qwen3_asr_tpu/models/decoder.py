@@ -25,6 +25,7 @@ import numpy as np
 
 from qwen3_asr_tpu.config import DecoderConfig
 from qwen3_asr_tpu.ops.attention import mha_attention
+from qwen3_asr_tpu.ops.q8_matmul import matmul_any
 
 
 def rms_norm(x: jax.Array, w: jax.Array | None, eps: float) -> jax.Array:
@@ -158,9 +159,9 @@ def decoder_forward(
         lp, k_cache_l, v_cache_l = xs
 
         x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
-        q = (x @ lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
-        k = (x @ lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
-        v = (x @ lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        q = matmul_any(x, lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
+        k = matmul_any(x, lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        v = matmul_any(x, lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
 
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
@@ -169,12 +170,12 @@ def decoder_forward(
 
         attn = _cached_attention(q, k_cache_l, v_cache_l, k, v,
                                  cache_mask, block_mask, scale)
-        x = attn.reshape(T, cfg.n_heads * cfg.head_dim) @ lp["wo"]
+        x = matmul_any(attn.reshape(T, cfg.n_heads * cfg.head_dim), lp["wo"])
         h1 = x_in + x
 
         x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(x @ lp["w_gate"])
-        x = (gate * (x @ lp["w_up"])) @ lp["w_down"]
+        gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
+        x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
         return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
     h_out, (k_rows, v_rows) = jax.lax.scan(

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen3_asr_tpu.config import AudioEncoderConfig
-from qwen3_asr_tpu.ops.attention import block_diagonal_mask, mha_attention
+from qwen3_asr_tpu.ops.attention import block_diagonal_attention, mha_attention
 
 
 def chunk_output_len(chunk_frames: int) -> int:
@@ -86,7 +86,7 @@ def _conv_frontend(params: dict, mel_chunks: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, W, C * H)
 
 
-def _encoder_block(cfg: AudioEncoderConfig, h, layer, mask):
+def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None):
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
     T = h.shape[0]
 
@@ -94,7 +94,11 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, mask):
     q = (x @ layer["wq"] + layer["bq"]).reshape(T, cfg.n_heads, cfg.head_dim)
     k = (x @ layer["wk"] + layer["bk"]).reshape(T, cfg.n_heads, cfg.head_dim)
     v = (x @ layer["wv"] + layer["bv"]).reshape(T, cfg.n_heads, cfg.head_dim)
-    attn = mha_attention(q, k, v, mask, scale).reshape(T, cfg.d_model)
+    if window is None:
+        attn = mha_attention(q, k, v, None, scale)
+    else:
+        attn = block_diagonal_attention(q, k, v, window, scale)
+    attn = attn.reshape(T, cfg.d_model)
     h = h + (attn @ layer["wo"] + layer["bo"])
 
     x = _layer_norm(h, layer["ffn_norm_w"], layer["ffn_norm_b"], cfg.layer_norm_eps)
@@ -133,13 +137,12 @@ def _encode_jit(params: dict, cfg: AudioEncoderConfig, mel: jax.Array, n_frames:
     n_ctx = h.shape[0]
 
     if cfg.n_window_infer is None:
-        mask = None
+        window = None
     else:
         window = max_out * (cfg.n_window_infer // chunk)   # 104 for FA
-        mask = block_diagonal_mask(n_ctx, window)
 
     def body(carry, layer):
-        return _encoder_block(cfg, carry, layer, mask), None
+        return _encoder_block(cfg, carry, layer, window), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
 

@@ -57,6 +57,50 @@ def causal_mask(T: int, S: int, offset, valid_len) -> jax.Array:
     return (cols <= offset + rows) & (cols < valid_len)
 
 
+def block_diagonal_attention(
+    q: jax.Array,   # [T, n_heads, head_dim]
+    k: jax.Array,
+    v: jax.Array,
+    window: int,
+    scale: float,
+) -> jax.Array:
+    """Block-diagonal windowed attention computed structurally.
+
+    Positions only attend within their `window`-sized segment (segment id =
+    pos // window, equivalent to the reference's cu_seqlens mask,
+    forced_aligner.cpp:742-766), so instead of masking an O(T^2) score
+    matrix we pad T to a multiple of `window`, reshape to
+    [n_windows, window, ...] and run attention batched over windows:
+    O(T * window) compute and memory. Tail padding rows are masked locally.
+    """
+    T, n_heads, head_dim = q.shape
+    n_win = -(-T // window)
+    pad = n_win * window - T
+
+    def split(x):
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        return x.reshape(n_win, window, x.shape[1], head_dim)
+
+    qw, kw, vw = split(q), split(k), split(v)
+    scores = jnp.einsum(
+        "wthd,wshd->whts", qw, kw, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if pad > 0:
+        # mask tail-window padding columns (rows are discarded anyway, but
+        # keep their softmax finite via their own diagonal)
+        pos = jnp.arange(n_win * window).reshape(n_win, window)
+        valid = pos < T                                  # [n_win, window]
+        scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+        eye = jnp.eye(window, dtype=bool)
+        scores = jnp.where(eye[None, None, :, :], jnp.maximum(scores, -1e30), scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "whts,wshd->wthd", probs.astype(v.dtype), vw,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(n_win * window, n_heads, head_dim)[:T].astype(q.dtype)
+
+
 def block_diagonal_mask(n_ctx: int, window: int) -> jax.Array:
     """[n_ctx, n_ctx] bool: attend within windows of `window` positions.
 

@@ -1,0 +1,133 @@
+"""Quantized (Q8_0-style) matmul: int8 weights dequantized in-register.
+
+Weight format matches GGUF Q8_0 semantics after the load-time transpose:
+  q: int8 [in, out], s: f32 [in//32, out]  with  W[i, o] = q[i, o] * s[i//32, o]
+
+The autoregressive decode step is HBM-bandwidth-bound on weight reads
+(BASELINE.md: the 0.6B model is ~1.2 GB in bf16); streaming int8 halves the
+traffic. XLA cannot be relied on to fuse dequantization into a matmul
+without materializing the bf16 matrix, hence the Pallas kernel: each grid
+step loads an int8 [in, TILE_OUT] tile + its scales into VMEM, converts in
+registers, and accumulates x @ W in float32.
+
+`q8_matmul` dispatches to the kernel on TPU and to a reference XLA
+implementation elsewhere (used by tests via interpret mode as well).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q8_BLOCK = 32
+
+
+def quantize_q8_weights(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """float [in, out] -> (int8 [in, out], f32 scales [in//32, out]).
+
+    Same per-32-input-block scheme as GGUF Q8_0 (runtime/gguf.py), but laid
+    out column-major-per-block for the [in, out] matmul orientation.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    n_in, n_out = w.shape
+    assert n_in % Q8_BLOCK == 0, n_in
+    blocks = w.reshape(n_in // Q8_BLOCK, Q8_BLOCK, n_out)
+    amax = np.abs(blocks).max(axis=1)                     # [B, out]
+    s = (amax / 127.0).astype(np.float32)
+    inv = np.where(s > 0, 1.0 / np.where(s == 0, 1.0, s), 0.0)
+    q = np.clip(np.round(blocks * inv[:, None, :]), -127, 127).astype(np.int8)
+    return q.reshape(n_in, n_out), s
+
+
+def dequantize_q8_weights(q: jax.Array, s: jax.Array) -> jax.Array:
+    n_in, n_out = q.shape
+    blocks = q.reshape(-1, Q8_BLOCK, n_out).astype(jnp.float32)
+    return (blocks * s[:, None, :]).reshape(n_in, n_out)
+
+
+def _q8_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """Reference implementation (materializes the dequantized matrix)."""
+    w = dequantize_q8_weights(q, s).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref):
+    # x: [T, in] f32; q: [in, TILE] int8; s: [in//32, TILE] f32; o: [T, TILE]
+    x = x_ref[:]
+    q = q_ref[:]
+    s = s_ref[:]
+    T = x.shape[0]
+    n_in = x.shape[1]
+    n_blocks = n_in // Q8_BLOCK
+    tile = q.shape[1]
+    # per-block partial dots, then scale-weighted sum:
+    #   out[t, o] = sum_b s[b, o] * sum_{i in b} x[t, i] q[i, o]
+    xb = x.reshape(T, n_blocks, Q8_BLOCK)
+    qb = q.reshape(n_blocks, Q8_BLOCK, tile).astype(jnp.float32)
+    partial = jax.lax.dot_general(
+        xb, qb,
+        dimension_numbers=(((2,), (1,)), ((1,), (0,))),   # batch over blocks
+        preferred_element_type=jnp.float32,
+    )                                                      # [n_blocks, T, tile]
+    o_ref[:] = jnp.einsum(
+        "bto,bo->to", partial, s, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
+              interpret: bool = False) -> jax.Array:
+    """x [T, in] x quantized W [in, out] -> [T, out] float32."""
+    T, n_in = x.shape
+    n_out = q.shape[1]
+    if jax.default_backend() not in ("tpu", "axon") and not interpret:
+        return _q8_matmul_xla(x, q, s)
+
+    TILE = 512 if n_out % 512 == 0 else (256 if n_out % 256 == 0 else n_out)
+    grid = (n_out // TILE,)
+    return pl.pallas_call(
+        _q8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, n_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in // Q8_BLOCK, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, n_out), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * n_in * n_out,
+            bytes_accessed=n_in * n_out + n_in * n_out // Q8_BLOCK * 4
+            + T * n_in * 4 + T * n_out * 4,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.float32), q, s)
+
+
+# ---------------------------------------------------------------------------
+# pytree leaf for quantized weights
+# ---------------------------------------------------------------------------
+
+def quant_leaf(w: np.ndarray) -> dict:
+    """Build a {'q8': {'q','s'}} pytree leaf from a float [in, out] matrix."""
+    q, s = quantize_q8_weights(w)
+    return {"q8:q": jnp.asarray(q), "q8:s": jnp.asarray(s)}
+
+
+def is_quant_leaf(w) -> bool:
+    return isinstance(w, dict) and "q8:q" in w
+
+
+def matmul_any(x: jax.Array, w) -> jax.Array:
+    """x @ w for either a dense array or a quantized leaf."""
+    if is_quant_leaf(w):
+        return q8_matmul(x, w["q8:q"], w["q8:s"]).astype(x.dtype)
+    return x @ w

@@ -59,8 +59,12 @@ class TranscribeResult:
 class Qwen3ASR:
     """End-to-end speech-to-text (model: Qwen3-ASR-0.6B GGUF)."""
 
-    def __init__(self, dtype=jnp.bfloat16):
+    def __init__(self, dtype=jnp.bfloat16, quantize: bool = False):
         self.dtype = dtype
+        # quantize=True: decoder matmul weights as int8 + per-block scales,
+        # executed by the Pallas dequant-matmul kernel (halves the HBM
+        # traffic that bounds decode speed) — BASELINE.json config 4.
+        self.quantize = quantize
         self.cfg: ASRModelConfig | None = None
         self.params = None
         self.tokenizer: BPETokenizer | None = None
@@ -77,6 +81,12 @@ class Qwen3ASR:
             )
             self.tokenizer = BPETokenizer(vocab, merges)
             self.mel_filters = generate_mel_filters()
+            if self.quantize:
+                from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+
+                self.params["decoder"] = quantize_decoder_params(
+                    self.params["decoder"]
+                )
             self.params = jax.device_put(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
@@ -93,6 +103,10 @@ class Qwen3ASR:
         """Synthetic weights (benchmarks / tests without model files)."""
         self.cfg = cfg
         self.params = init_asr_params(cfg, seed, self.dtype)
+        if self.quantize:
+            from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+
+            self.params["decoder"] = quantize_decoder_params(self.params["decoder"])
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

@@ -246,6 +246,39 @@ def load_aligner_model(path: str, dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# weight quantization (Q8_0-style int8 + per-32-block scales, on device)
+# ---------------------------------------------------------------------------
+
+_DEC_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_decoder_params(dec_params: dict) -> dict:
+    """Quantize the decoder's per-layer matmul weights to int8 leaves for
+    the Pallas dequant-matmul path (ops/q8_matmul.py). Embedding/norms stay
+    dense — same policy as the reference converter's Q8_0 mode
+    (convert_hf_to_gguf.py:231-252).
+
+    Stacked [L, in, out] weights quantize per layer and restack."""
+    from qwen3_asr_tpu.ops.q8_matmul import quantize_q8_weights
+
+    out = dict(dec_params)
+    layers = dict(dec_params["layers"])
+    for key in _DEC_QUANT_KEYS:
+        w = np.asarray(layers[key], dtype=np.float32)   # [L, in, out]
+        qs, ss = [], []
+        for l in range(w.shape[0]):
+            q, s = quantize_q8_weights(w[l])
+            qs.append(q)
+            ss.append(s)
+        layers[key] = {
+            "q8:q": jnp.asarray(np.stack(qs)),
+            "q8:s": jnp.asarray(np.stack(ss)),
+        }
+    out["layers"] = layers
+    return out
+
+
+# ---------------------------------------------------------------------------
 # random init (tests / benchmarks without model files)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,81 @@
+"""Q8_0-style int8 matmul: kernel (interpret mode) vs XLA reference, and
+quantized decoder accuracy vs dense."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    embed_with_audio,
+    init_kv_cache,
+    lm_logits,
+)
+from qwen3_asr_tpu.ops.q8_matmul import (
+    _q8_matmul_xla,
+    dequantize_q8_weights,
+    matmul_any,
+    q8_matmul,
+    quant_leaf,
+    quantize_q8_weights,
+)
+from qwen3_asr_tpu.runtime.params import init_asr_params, quantize_decoder_params
+
+
+def test_quantize_dequantize_error_bound(rng):
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    q, s = quantize_q8_weights(w)
+    back = np.asarray(dequantize_q8_weights(jnp.asarray(q), jnp.asarray(s)))
+    # per-block max error is scale/2
+    err = np.abs(back - w)
+    bound = np.repeat(s, 32, axis=0) * 0.5 + 1e-7
+    assert (err <= bound).all()
+
+
+@pytest.mark.parametrize("T,n_in,n_out", [(1, 1024, 512), (8, 256, 1024),
+                                          (4, 3072, 1024)])
+def test_kernel_matches_xla_reference(rng, T, n_in, n_out):
+    x = rng.standard_normal((T, n_in)).astype(np.float32)
+    w = rng.standard_normal((n_in, n_out)).astype(np.float32) * 0.05
+    q, s = quantize_q8_weights(w)
+    ref = np.asarray(_q8_matmul_xla(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s)))
+    out = np.asarray(q8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s),
+                               interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_matmul_any_dispatch(rng):
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    w = rng.standard_normal((64, 128)).astype(np.float32) * 0.05
+    dense = np.asarray(matmul_any(x, jnp.asarray(w)))
+    quant = np.asarray(matmul_any(x, quant_leaf(w)))
+    # int8 quantization error, not exact
+    np.testing.assert_allclose(quant, dense, atol=5e-2, rtol=0)
+
+
+def test_quantized_decoder_close_to_dense(rng):
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=7, dtype=jnp.float32)
+    dec = params["decoder"]
+    qdec = quantize_decoder_params(dec)
+
+    T = 10
+    tokens = rng.integers(0, 100, size=T).astype(np.int32)
+    h0 = embed_with_audio(dec, jnp.asarray(tokens), None, 0, 0)
+
+    def run(d):
+        cache = init_kv_cache(cfg.decoder, T, jnp.float32)
+        h, _ = decoder_forward(
+            d, cfg.decoder, h0, jnp.arange(T, dtype=jnp.int32), cache,
+            jnp.int32(0), jnp.int32(T),
+        )
+        return np.asarray(lm_logits(d, cfg.decoder, h[-1]))
+
+    dense_logits = run(dec)
+    quant_logits = run(qdec)
+    # greedy argmax agreement is what matters for WER parity
+    assert np.argmax(dense_logits) == np.argmax(quant_logits)
+    denom = np.abs(dense_logits).max()
+    assert np.abs(quant_logits - dense_logits).max() / denom < 0.05
