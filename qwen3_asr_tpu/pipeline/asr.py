@@ -216,3 +216,87 @@ class Qwen3ASR:
                 file=sys.stderr, flush=True,
             )
         return result
+
+    # -- batched multi-file transcription (BASELINE.json config 5) ---------
+
+    def transcribe_batch(
+        self,
+        audios: list,
+        params: TranscribeParams | None = None,
+        mesh=None,
+    ) -> list[TranscribeResult]:
+        """Transcribe several utterances in one batched decode.
+
+        All prompts pad to a common bucket; generation runs as a single
+        vmapped program. With a `dp x tp` mesh (parallel/mesh.py) and the
+        decoder params dp-replicated/tp-sharded, utterances shard over
+        chips via pure data parallelism over ICI — the TPU-native analog
+        of running many CLI processes.
+        """
+        from qwen3_asr_tpu.parallel.mesh import batched_transcribe_step
+
+        params = params or TranscribeParams()
+        results = [TranscribeResult() for _ in audios]
+        dcfg = self.cfg.decoder
+        t_total = time.perf_counter()
+
+        feats_list = []
+        for audio, result in zip(audios, results):
+            if isinstance(audio, str):
+                samples, sr = load_wav(audio)
+                if sr != SAMPLE_RATE:
+                    result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
+                    feats_list.append(None)
+                    continue
+            else:
+                samples = np.asarray(audio, dtype=np.float32)
+            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
+            feats_list.append(
+                encode_audio(self.params["encoder"], self.cfg.encoder, mel)
+            )
+
+        valid = [i for i, f in enumerate(feats_list) if f is not None]
+        if not valid:
+            return results
+
+        prompts, offsets = [], []
+        for i in valid:
+            n_audio = int(feats_list[i].shape[0])
+            prompt = build_asr_prompt(n_audio, dcfg)
+            prompts.append(prompt)
+            offsets.append(audio_start_pos(prompt, dcfg))
+        assert len(set(offsets)) == 1, "audio offset is template-fixed"
+
+        bucket = params.prompt_bucket
+        P = -(-max(len(p) for p in prompts) // bucket) * bucket
+        B = len(valid)
+        toks = np.full((B, P), dcfg.pad_token_id, np.int32)
+        n_prompt = np.zeros((B,), np.int32)
+        n_audio_arr = np.zeros((B,), np.int32)
+        cap = P - (len(prompts[0]) - int(feats_list[valid[0]].shape[0]))
+        audio_padded = jnp.zeros((B, cap, dcfg.hidden_size), self.dtype)
+        for b, i in enumerate(valid):
+            toks[b, : len(prompts[b])] = prompts[b]
+            n_prompt[b] = len(prompts[b])
+            n_audio_arr[b] = int(feats_list[i].shape[0])
+            audio_padded = audio_padded.at[b, : n_audio_arr[b]].set(
+                feats_list[i].astype(self.dtype)
+            )
+
+        out, n_kept = batched_transcribe_step(
+            self.params["decoder"], dcfg,
+            jnp.asarray(toks), jnp.asarray(n_prompt), audio_padded,
+            jnp.asarray(n_audio_arr), offsets[0], params.max_tokens,
+            mesh=mesh,
+        )
+        out = np.asarray(out)
+        n_kept = np.asarray(n_kept)
+        t_ms = (time.perf_counter() - t_total) * 1000
+
+        for b, i in enumerate(valid):
+            r = results[i]
+            r.tokens = [int(t) for t in out[b, : int(n_kept[b])]]
+            r.text = self.tokenizer.decode(r.tokens)
+            r.success = True
+            r.t_total_ms = t_ms
+        return results
