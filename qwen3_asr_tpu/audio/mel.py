@@ -69,6 +69,17 @@ def generate_mel_filters(
     return weights.astype(np.float32)
 
 
+def load_mel_filters_npy(path: str) -> np.ndarray:
+    """Load a HuggingFace-exported mel filterbank .npy ([n_fft_bins, n_mels],
+    float32/float64) and transpose to this stack's [n_mels, n_fft_bins]
+    layout — same contract as the reference's load_mel_filters_npy
+    (mel_spectrogram.cpp:292-347)."""
+    arr = np.load(path)
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2D mel filterbank, got shape {arr.shape}")
+    return np.ascontiguousarray(arr.T, dtype=np.float32)
+
+
 def _hann_window(n_fft: int = N_FFT) -> np.ndarray:
     """Periodic Hann window, float64 (reference: mel_spectrogram.cpp:50-55)."""
     i = np.arange(n_fft, dtype=np.float64)

@@ -130,6 +130,7 @@ def decoder_forward(
     kv_cache: dict,              # {k, v}: [L, S, n_kv, hd]
     cache_offset,                # scalar: where to write this block
     kv_valid_len,                # scalar: total real cache rows after write
+    prefill: bool = False,       # static: block starts at cache_offset == 0
 ) -> tuple[jax.Array, dict]:
     """Run all layers; returns (hidden [T, hidden], updated kv_cache).
 
@@ -137,6 +138,11 @@ def decoder_forward(
     j <= t (subject to kv_valid_len, which masks right-padding rows).
     The scan emits only this block's K/V rows; the cache is updated with a
     single [L, T] dynamic_update_slice afterwards.
+
+    `prefill=True` asserts cache_offset == 0: the (empty) cache is neither
+    read nor threaded through the scan, and attention uses the Pallas flash
+    kernel on TPU (causal + dynamic valid length) instead of a masked
+    score matrix.
     """
     T = h.shape[0]
     S = kv_cache["k"].shape[1]
@@ -146,17 +152,40 @@ def decoder_forward(
     offset = jnp.asarray(cache_offset, jnp.int32)
     valid = jnp.asarray(kv_valid_len, jnp.int32)
 
-    cols_s = jnp.arange(S)
-    cache_mask = cols_s < jnp.minimum(offset, valid)          # [S]
-    rows = jnp.arange(T)[:, None]
-    cols = jnp.arange(T)[None, :]
-    # right-padding rows keep their diagonal visible so their softmax stays
-    # finite (their outputs/cache rows are never read)
-    block_mask = (cols <= rows) & ((offset + cols < valid) | (cols == rows))
+    use_flash = False
+    if prefill:
+        from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+        use_flash = T > 1 and has_pallas_tpu()
+
+    if not use_flash:
+        cols_s = jnp.arange(S)
+        cache_mask = cols_s < jnp.minimum(offset, valid)      # [S]
+        rows = jnp.arange(T)[:, None]
+        cols = jnp.arange(T)[None, :]
+        # right-padding rows keep their diagonal visible so their softmax
+        # stays finite (their outputs/cache rows are never read)
+        block_mask = (cols <= rows) & ((offset + cols < valid) | (cols == rows))
+
+    def attend(q, k, v, k_cache_l, v_cache_l):
+        if use_flash:
+            from qwen3_asr_tpu.ops.pallas_attention import flash_attention
+
+            return flash_attention(q, k, v, valid, causal=True, scale=scale)
+        if prefill:
+            empty = jnp.zeros((S, cfg.n_kv_heads, cfg.head_dim), q.dtype)
+            return _cached_attention(q, empty, empty, k, v,
+                                     jnp.zeros((S,), bool), block_mask, scale)
+        return _cached_attention(q, k_cache_l, v_cache_l, k, v,
+                                 cache_mask, block_mask, scale)
 
     def body(carry, xs):
         x_in = carry
-        lp, k_cache_l, v_cache_l = xs
+        if prefill:
+            lp = xs
+            k_cache_l = v_cache_l = None
+        else:
+            lp, k_cache_l, v_cache_l = xs
 
         x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
         q = matmul_any(x, lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
@@ -168,8 +197,7 @@ def decoder_forward(
         q = rope_neox(q, positions, cfg.rope_theta)
         k = rope_neox(k, positions, cfg.rope_theta)
 
-        attn = _cached_attention(q, k_cache_l, v_cache_l, k, v,
-                                 cache_mask, block_mask, scale)
+        attn = attend(q, k, v, k_cache_l, v_cache_l)
         x = matmul_any(attn.reshape(T, cfg.n_heads * cfg.head_dim), lp["wo"])
         h1 = x_in + x
 
@@ -178,9 +206,10 @@ def decoder_forward(
         x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
         return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
-    h_out, (k_rows, v_rows) = jax.lax.scan(
-        body, h, (dec_params["layers"], kv_cache["k"], kv_cache["v"])
+    xs = dec_params["layers"] if prefill else (
+        dec_params["layers"], kv_cache["k"], kv_cache["v"]
     )
+    h_out, (k_rows, v_rows) = jax.lax.scan(body, h, xs)
     zero = jnp.int32(0)
     new_cache = {
         "k": jax.lax.dynamic_update_slice(

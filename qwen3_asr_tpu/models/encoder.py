@@ -69,21 +69,27 @@ def _layer_norm(x, w, b, eps):
 
 
 def _conv_frontend(params: dict, mel_chunks: jax.Array) -> jax.Array:
-    """mel_chunks [B, 1, n_mel, chunk] NCHW f32 -> [B, T_out, C*H] features."""
-    dn = ("NCHW", "OIHW", "NCHW")
-    x = mel_chunks
+    """mel_chunks [B, 1, n_mel, chunk] -> [B, T_out, C*H] features.
+
+    Computed in NHWC (the TPU-native conv layout; NCHW convs lower poorly)
+    with float32 accumulation. Kernels are stored OIHW (torch layout, as the
+    GGUF converter writes them) and transposed to HWIO at trace time.
+    """
+    dtype = params["conv_out_w"].dtype
+    x = jnp.transpose(mel_chunks, (0, 2, 3, 1)).astype(dtype)  # [B, H, W, 1]
     for i in (1, 2, 3):
-        w = params[f"conv{i}_w"]
-        b = params[f"conv{i}_b"]
+        w = jnp.transpose(params[f"conv{i}_w"], (2, 3, 1, 0)).astype(dtype)
+        b = params[f"conv{i}_b"].astype(jnp.float32)
         x = jax.lax.conv_general_dilated(
             x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
-            dimension_numbers=dn,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
-        x = jax.nn.gelu(x + b[None, :, None, None], approximate=False)
-    # [B, C, H, W] -> [B, W, C, H] -> [B, W, C*H]; feature index = c*H + h,
+        x = jax.nn.gelu(x + b[None, None, None, :], approximate=False).astype(dtype)
+    # [B, H, W, C] -> [B, W, C, H] -> [B, W, C*H]; feature index = c*H + h,
     # matching HF's permute(0,3,1,2).view(b,t,c*f) (generate_reference.py:94-95)
-    B, C, H, W = x.shape
-    return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, W, C * H)
+    B, H, W, C = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1)).reshape(B, W, C * H)
 
 
 def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None):
@@ -95,7 +101,15 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None):
     k = (x @ layer["wk"] + layer["bk"]).reshape(T, cfg.n_heads, cfg.head_dim)
     v = (x @ layer["wv"] + layer["bv"]).reshape(T, cfg.n_heads, cfg.head_dim)
     if window is None:
-        attn = mha_attention(q, k, v, None, scale)
+        from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+        if has_pallas_tpu() and T >= 512:
+            from qwen3_asr_tpu.ops.pallas_attention import flash_attention
+
+            attn = flash_attention(q, k, v, jnp.int32(T), causal=False,
+                                   scale=scale)
+        else:
+            attn = mha_attention(q, k, v, None, scale)
     else:
         attn = block_diagonal_attention(q, k, v, window, scale)
     attn = attn.reshape(T, cfg.d_model)

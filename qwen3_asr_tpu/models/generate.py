@@ -56,7 +56,7 @@ def generate_greedy(
     positions = jnp.arange(P, dtype=jnp.int32)
     h, cache = decoder_forward(
         dec_params, cfg, h0, positions, cache,
-        cache_offset=jnp.int32(0), kv_valid_len=n_prompt,
+        cache_offset=jnp.int32(0), kv_valid_len=n_prompt, prefill=True,
     )
     h_last = jax.lax.dynamic_index_in_dim(h, n_prompt - 1, axis=0, keepdims=False)
     first = jnp.argmax(lm_logits(dec_params, cfg, h_last)).astype(jnp.int32)
@@ -91,19 +91,23 @@ def generate_greedy(
     return out, n_kept
 
 
-def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int):
+def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int,
+                n_valid=None):
     """Single non-autoregressive causal pass -> per-position hidden states.
 
-    Used by the forced aligner (forced_aligner.cpp:1088-1169). `tokens` is
-    unpadded (FA prompt length is data-dependent anyway); jit happens per
-    shape bucket at the pipeline layer.
+    Used by the forced aligner (forced_aligner.cpp:1088-1169). `tokens` may
+    be right-padded to a shape bucket; `n_valid` (scalar) is the real prompt
+    length — rows past it are masked out of attention and their outputs are
+    garbage the caller must ignore.
     """
     T = tokens.shape[0]
+    if n_valid is None:
+        n_valid = jnp.int32(T)
     cache = init_kv_cache(cfg, T, dec_params["token_embd"].dtype)
     h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
     positions = jnp.arange(T, dtype=jnp.int32)
     h, _ = decoder_forward(
         dec_params, cfg, h0, positions, cache,
-        cache_offset=jnp.int32(0), kv_valid_len=jnp.int32(T),
+        cache_offset=jnp.int32(0), kv_valid_len=n_valid, prefill=True,
     )
     return h

@@ -60,8 +60,10 @@ class AlignmentResult:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_offset"))
-def _nar_classify(dec_params, cfg, tokens, audio, n_audio, audio_offset):
-    h = nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset)
+def _nar_classify(dec_params, cfg, tokens, n_valid, audio, n_audio,
+                  audio_offset):
+    h = nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset,
+                    n_valid=n_valid)
     return classify_logits(dec_params, cfg, h)
 
 
@@ -169,14 +171,27 @@ class ForcedAligner:
         input_tokens = build_aligner_prompt(text_tokens, n_pads, dcfg)
         audio_offset = 1  # right after <audio_start> (forced_aligner.cpp:1331-1338)
 
+        # bucket the prompt length so one compiled program serves a range
+        # of transcript lengths (recompiles are expensive)
+        bucket = 128
+        n_real = len(input_tokens)
+        P = -(-n_real // bucket) * bucket
+        toks = np.full(P, dcfg.pad_token_id % dcfg.vocab_size, np.int32)
+        toks[:n_real] = input_tokens
+        cap = P - (n_real - n_audio)
+        audio_padded = jnp.zeros((cap, dcfg.hidden_size), audio_features.dtype)
+        audio_padded = jax.lax.dynamic_update_slice(
+            audio_padded, audio_features, (0, 0)
+        )
+
         t0 = time.perf_counter()
         with timer("fa.decode"):
             logits = _nar_classify(
                 self.params["decoder"], dcfg,
-                jnp.asarray(np.asarray(input_tokens, np.int32)),
-                audio_features, jnp.int32(n_audio), audio_offset,
+                jnp.asarray(toks), jnp.int32(n_real),
+                audio_padded, jnp.int32(n_audio), audio_offset,
             )
-            logits = np.asarray(logits)
+            logits = np.asarray(logits)[:n_real]
         result.t_decode_ms = (time.perf_counter() - t0) * 1000
 
         # host post-processing

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Test orchestration (role of the reference's tests/run_all_tests.sh):
+# build the native library, run the pytest suite (CPU, 8 virtual devices),
+# and optionally smoke the CLI + bench when model files / a TPU exist.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "=== native library ==="
+if make -C native >/dev/null 2>&1; then
+    echo "OK  built native/libqwen3_host.so"
+else
+    echo "SKIP native build failed (pure-Python fallbacks active)"
+fi
+
+echo "=== pytest suite ==="
+python -m pytest tests/ -q || exit 1
+
+MODEL="${QWEN3_ASR_GGUF:-models/qwen3-asr-0.6b-f16.gguf}"
+AUDIO="${QWEN3_ASR_WAV:-sample.wav}"
+if [[ -f "$MODEL" && -f "$AUDIO" ]]; then
+    echo "=== CLI smoke (real model) ==="
+    python -m qwen3_asr_tpu.cli -m "$MODEL" -f "$AUDIO" --no-timing | head -3
+else
+    echo "SKIP CLI smoke (no model/audio: set QWEN3_ASR_GGUF / QWEN3_ASR_WAV)"
+fi
+
+echo "=== done ==="
