@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="On-device compute dtype")
     p.add_argument("--platform", default="",
                    help="Force a JAX platform (e.g. 'cpu', 'tpu'); default: auto")
+    p.add_argument("--trace-dir", default="",
+                   help="Write a jax.profiler trace (XLA-level timeline) here")
     return p
 
 
@@ -103,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.trace_dir:
+        import atexit
+
+        jax.profiler.start_trace(args.trace_dir)
+        atexit.register(jax.profiler.stop_trace)
 
     from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
     from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams

@@ -91,6 +91,71 @@ def generate_greedy(
     return out, n_kept
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "cache_len", "cache_dtype"),
+)
+def prefill_only(
+    dec_params, cfg, tokens, n_prompt, audio, n_audio,
+    audio_offset: int, cache_len: int, cache_dtype=jnp.bfloat16,
+):
+    """Prefill pass -> (first greedy token, kv cache). Used by the
+    streaming decode path."""
+    P = tokens.shape[0]
+    cache = init_kv_cache(cfg, cache_len, cache_dtype)
+    h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
+    h, cache = decoder_forward(
+        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
+        cache_offset=jnp.int32(0), kv_valid_len=n_prompt, prefill=True,
+    )
+    h_last = jax.lax.dynamic_index_in_dim(h, n_prompt - 1, axis=0,
+                                          keepdims=False)
+    return jnp.argmax(lm_logits(dec_params, cfg, h_last)).astype(jnp.int32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_step(dec_params, cfg, token, pos, cache):
+    """One greedy decode step; the cache buffer is donated (updated
+    in place in HBM)."""
+    h0 = jnp.take(dec_params["token_embd"], token[None], axis=0)
+    h, cache = decoder_forward(
+        dec_params, cfg, h0, pos[None].astype(jnp.int32), cache,
+        cache_offset=pos, kv_valid_len=pos + 1,
+    )
+    return jnp.argmax(lm_logits(dec_params, cfg, h[0])).astype(jnp.int32), cache
+
+
+def generate_greedy_streaming(
+    dec_params, cfg, tokens, n_prompt, audio, n_audio,
+    audio_offset: int, max_tokens: int,
+    on_token=None, cache_dtype=jnp.bfloat16,
+):
+    """Greedy decode with a host-side loop: one device dispatch per token,
+    invoking `on_token(i, max_tokens)` per step — the per-token progress
+    contract of the reference (qwen3_asr.cpp:264,289). Slightly slower than
+    `generate_greedy` (per-step dispatch latency); same outputs."""
+    P = tokens.shape[0]
+    token, cache = prefill_only(
+        dec_params, cfg, tokens, n_prompt, audio, n_audio,
+        audio_offset, P + max_tokens, cache_dtype,
+    )
+    out = []
+    n_prompt_i = int(n_prompt)
+    for i in range(max_tokens):
+        t = int(token)
+        if t == cfg.eos_token_id:
+            break
+        out.append(t)
+        if on_token:
+            on_token(len(out), max_tokens)
+        if len(out) == max_tokens:
+            break
+        token, cache = decode_step(
+            dec_params, cfg, token, jnp.int32(n_prompt_i + i), cache
+        )
+    return out
+
+
 def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int,
                 n_valid=None):
     """Single non-autoregressive causal pass -> per-position hidden states.

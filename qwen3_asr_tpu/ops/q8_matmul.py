@@ -58,24 +58,25 @@ def _q8_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 
 def _q8_kernel(x_ref, q_ref, s_ref, o_ref):
     # x: [T, in] f32; q: [in, TILE] int8; s: [in//32, TILE] f32; o: [T, TILE]
-    x = x_ref[:]
-    q = q_ref[:]
-    s = s_ref[:]
-    T = x.shape[0]
-    n_in = x.shape[1]
+    #
+    # Dequantize in VMEM (int8 -> f32 multiply by the block scale broadcast
+    # over the 32 rows of each block) and run ONE 2-D dot. HBM traffic stays
+    # int8 — the f32 copy lives only on-chip. (A batched per-block
+    # dot_general formulation fails Mosaic lowering: batch dims are
+    # unsupported in TPU Pallas dots.)
+    q = q_ref[:].astype(jnp.float32)
+    s = s_ref[:]                                          # [n_blocks, tile]
+    n_in, tile = q.shape
     n_blocks = n_in // Q8_BLOCK
-    tile = q.shape[1]
-    # per-block partial dots, then scale-weighted sum:
-    #   out[t, o] = sum_b s[b, o] * sum_{i in b} x[t, i] q[i, o]
-    xb = x.reshape(T, n_blocks, Q8_BLOCK)
-    qb = q.reshape(n_blocks, Q8_BLOCK, tile).astype(jnp.float32)
-    partial = jax.lax.dot_general(
-        xb, qb,
-        dimension_numbers=(((2,), (1,)), ((1,), (0,))),   # batch over blocks
-        preferred_element_type=jnp.float32,
-    )                                                      # [n_blocks, T, tile]
-    o_ref[:] = jnp.einsum(
-        "bto,bo->to", partial, s, preferred_element_type=jnp.float32
+    s_rows = jnp.broadcast_to(
+        s[:, None, :], (n_blocks, Q8_BLOCK, tile)
+    ).reshape(n_in, tile)
+    # full-f32 MXU passes: the op is HBM-bound on the int8 stream, so the
+    # extra compute of HIGHEST precision is free and keeps decode GEMVs
+    # within quantization error of the reference
+    o_ref[:] = jnp.dot(
+        x_ref[:], q * s_rows, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -188,19 +188,33 @@ class Qwen3ASR:
 
         t0 = time.perf_counter()
         with timer("decode.generate"):
-            out, n_kept = generate_greedy(
-                self.params["decoder"], dcfg,
-                jnp.asarray(toks), jnp.int32(n_prompt),
-                audio_padded, jnp.int32(n_audio), offset,
-                params.max_tokens,
-            )
-            out = np.asarray(out)
-            n_kept = int(n_kept)
-        result.t_decode_ms = (time.perf_counter() - t0) * 1000
+            if self._progress_cb or params.print_progress:
+                # streaming path: one dispatch per token, per-token progress
+                # (the reference's callback contract, qwen3_asr.cpp:264,289)
+                from qwen3_asr_tpu.models.generate import generate_greedy_streaming
 
-        result.tokens = [int(t) for t in out[:n_kept]]
-        if self._progress_cb:
-            self._progress_cb(n_kept, params.max_tokens)
+                def on_token(i, total):
+                    if self._progress_cb:
+                        self._progress_cb(i, total)
+                    if params.print_progress and i % 10 == 0:
+                        print(f"Generated {i} tokens...",
+                              file=sys.stderr, flush=True)
+
+                result.tokens = generate_greedy_streaming(
+                    self.params["decoder"], dcfg,
+                    jnp.asarray(toks), jnp.int32(n_prompt),
+                    audio_padded, jnp.int32(n_audio), offset,
+                    params.max_tokens, on_token=on_token,
+                )
+            else:
+                out, n_kept = generate_greedy(
+                    self.params["decoder"], dcfg,
+                    jnp.asarray(toks), jnp.int32(n_prompt),
+                    audio_padded, jnp.int32(n_audio), offset,
+                    params.max_tokens,
+                )
+                result.tokens = [int(t) for t in np.asarray(out)[: int(n_kept)]]
+        result.t_decode_ms = (time.perf_counter() - t0) * 1000
         result.text = self.tokenizer.decode(result.tokens)
         result.success = True
         result.t_total_ms = (time.perf_counter() - t_total) * 1000

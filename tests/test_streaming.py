@@ -1,0 +1,59 @@
+"""Streaming (per-token host loop) decode == single-jit while_loop decode."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.models.generate import generate_greedy, generate_greedy_streaming
+from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+from qwen3_asr_tpu.runtime.params import init_asr_params
+
+from helpers import make_byte_vocab
+
+
+def test_streaming_matches_while_loop(rng):
+    cfg = tiny_asr_config()
+    dcfg = cfg.decoder
+    dec = init_asr_params(cfg, seed=13, dtype=jnp.float32)["decoder"]
+
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = [5, 6] + [dcfg.audio_pad_token_id] * n_audio + [7]
+    P = 16
+    toks = np.zeros(P, np.int32)
+    toks[: len(prompt)] = prompt
+    max_tokens = 8
+
+    out, n_kept = generate_greedy(
+        dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+        jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+        cache_dtype=jnp.float32,
+    )
+    expected = list(np.asarray(out)[: int(n_kept)])
+
+    seen = []
+    got = generate_greedy_streaming(
+        dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+        jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+        on_token=lambda i, total: seen.append((i, total)),
+        cache_dtype=jnp.float32,
+    )
+    assert got == expected
+    assert seen == [(i + 1, max_tokens) for i in range(len(got))]
+
+
+def test_pipeline_progress_callback(rng):
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(cfg, seed=13, vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    params = TranscribeParams(max_tokens=5, print_timing=False, prompt_bucket=32)
+
+    base = asr.transcribe(audio, params)
+    calls = []
+    asr.set_progress_callback(lambda i, total: calls.append(i))
+    streamed = asr.transcribe(audio, params)
+    assert streamed.tokens == base.tokens
+    assert calls and calls[-1] == len(streamed.tokens)
