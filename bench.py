@@ -58,8 +58,10 @@ def main():
 
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * 16000)) / 16000
-    audio = (0.3 * np.sin(2 * np.pi * 440 * t)
-             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    audio_f = (0.3 * np.sin(2 * np.pi * 440 * t)
+               + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    # int16 PCM, like the WAV pipeline path (halves the host->device copy)
+    audio = (audio_f * 32768.0).clip(-32768, 32767).astype(np.int16)
     filters = generate_mel_filters()
 
     def pipeline(max_tokens):

@@ -170,7 +170,9 @@ def _dft_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def _mel_device(padded, filters_t, n_frames: int):
-    """`padded` must have length (n_frames + 2) * HOP_LENGTH (zero-filled).
+    """`padded` must have length (n_frames + 2) * HOP_LENGTH (zero-filled),
+    either float32 or int16 (int16/32768 is converted on device — WAV is
+    16-bit PCM, so shipping int16 halves the host->device transfer).
 
     Framing uses reshape+slice+concat (HOP=160 rows; a 400-sample frame is
     rows [i, i+1] plus half of row [i+2]) instead of a gather — gathers are
@@ -178,6 +180,8 @@ def _mel_device(padded, filters_t, n_frames: int):
     """
     hann, cos_t, sin_t = _dft_tables()
     hann = jnp.asarray(hann)
+    if padded.dtype == jnp.int16:
+        padded = padded.astype(jnp.float32) / 32768.0
     rows = padded.reshape(n_frames + 2, HOP_LENGTH)
     frames = jnp.concatenate(
         [
@@ -213,7 +217,11 @@ def log_mel_spectrogram(
     """
     if filters is None:
         filters = generate_mel_filters()
-    samples = np.asarray(samples, dtype=np.float32)
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        # int16 PCM is shipped as-is and scaled on device (half the
+        # host->device transfer); anything else goes as float32
+        samples = samples.astype(np.float32)
     n_frames = num_mel_frames(len(samples))
     if n_frames <= 0:
         return np.zeros((filters.shape[0], 0), dtype=np.float32)
@@ -221,7 +229,7 @@ def log_mel_spectrogram(
     padded = reflect_pad(samples)
     need = (n_frames - 1) * HOP_LENGTH + N_FFT
     dev_frames = -(-n_frames // bucket) * bucket if bucket > 0 else n_frames
-    buf = np.zeros((dev_frames + 2) * HOP_LENGTH, dtype=np.float32)
+    buf = np.zeros((dev_frames + 2) * HOP_LENGTH, dtype=samples.dtype)
     # copy only the samples the valid frames can see: extra bucketed frames
     # must be all-zero so they cannot perturb the global max (the reference
     # computes the max over n_len frames only, mel_spectrogram.cpp:603-612)

@@ -16,8 +16,13 @@ class WavError(ValueError):
     pass
 
 
-def load_wav(path: str) -> tuple[np.ndarray, int]:
-    """Load a WAV file -> (float32 mono samples in [-1, 1), sample_rate)."""
+def load_wav(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int]:
+    """Load a WAV file -> (mono samples, sample_rate).
+
+    Samples are float32 in [-1, 1) by default; `raw_int16=True` returns the
+    undivided int16 PCM for mono files (half the bytes — the mel frontend
+    scales on device), falling back to float32 for multi-channel input
+    (channel averaging is not int16-exact)."""
     with open(path, "rb") as f:
         data = f.read()
 
@@ -44,6 +49,8 @@ def load_wav(path: str) -> tuple[np.ndarray, int]:
                 )
             raw = np.frombuffer(data, dtype="<i2", count=chunk_size // 2, offset=body)
             if num_channels == 1:
+                if raw_int16:
+                    return np.ascontiguousarray(raw, dtype=np.int16), int(sample_rate)
                 samples = raw.astype(np.float32) / 32768.0
             else:
                 frames = raw.reshape(-1, num_channels).astype(np.float32)

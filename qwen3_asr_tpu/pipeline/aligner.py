@@ -135,7 +135,7 @@ class ForcedAligner:
 
         if isinstance(audio, str):
             try:
-                samples, sr = load_wav(audio)
+                samples, sr = load_wav(audio, raw_int16=True)
             except Exception as e:
                 result.error_msg = f"Failed to load audio file: {e}"
                 return result

@@ -125,7 +125,7 @@ class Qwen3ASR:
 
         if isinstance(audio, str):
             try:
-                samples, sr = load_wav(audio)
+                samples, sr = load_wav(audio, raw_int16=True)
             except Exception as e:
                 result.error_msg = f"Failed to load audio file: {e}"
                 return result
@@ -257,7 +257,7 @@ class Qwen3ASR:
         feats_list = []
         for audio, result in zip(audios, results):
             if isinstance(audio, str):
-                samples, sr = load_wav(audio)
+                samples, sr = load_wav(audio, raw_int16=True)
                 if sr != SAMPLE_RATE:
                     result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
                     feats_list.append(None)

@@ -86,3 +86,11 @@ def test_wav_roundtrip(tmp_path, rng):
     assert sr == 16000
     assert loaded.shape == audio.shape
     np.testing.assert_allclose(loaded, audio, atol=1.0 / 32768)
+
+
+def test_mel_int16_input_matches_float(rng):
+    pcm = (make_audio(rng, 1.0) * 32768.0).clip(-32768, 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    out_i16 = log_mel_spectrogram(pcm)
+    out_f32 = log_mel_spectrogram(as_float)
+    np.testing.assert_allclose(out_i16, out_f32, atol=1e-6, rtol=0)
