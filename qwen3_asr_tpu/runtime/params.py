@@ -170,7 +170,11 @@ def load_encoder_params(g: GGUFFile, cfg: AudioEncoderConfig, dtype) -> dict:
     }
 
 
-def load_decoder_params(g: GGUFFile, cfg: DecoderConfig, dtype) -> dict:
+def load_decoder_params(
+    g: GGUFFile, cfg: DecoderConfig, dtype, native_q8: bool = True
+) -> dict:
+    from qwen3_asr_tpu.runtime.gguf import GGML_TYPE_Q8_0
+
     def stack_layers(suffix: str, transpose: bool) -> jax.Array:
         mats = []
         for i in range(cfg.n_layers):
@@ -178,18 +182,41 @@ def load_decoder_params(g: GGUFFile, cfg: DecoderConfig, dtype) -> dict:
             mats.append(a.T if transpose else a)
         return _to_dev(np.stack(mats), dtype)
 
+    def stack_matmul_weight(suffix: str):
+        """Per-layer matmul weight: Q8_0 tensors load DIRECTLY as stacked
+        int8 + scale leaves for the Pallas dequant matmul — GGML's exact
+        blocks, zero requantization error. GGUF Q8_0 blocks run along
+        ne[0] (the `in` dim), i.e. numpy rows of the (out, in) view, which
+        transposes to exactly the kernel's [in, out] / [in//32, out] layout.
+        """
+        names = [f"blk.{i}.{suffix}" for i in range(cfg.n_layers)]
+        if native_q8 and all(
+            g.tensors[n].ggml_type == GGML_TYPE_Q8_0 for n in names
+        ):
+            qs, ss = [], []
+            for n in names:
+                q_flat, s_flat = g.get_q8_0(n)
+                out_dim, in_dim = tuple(reversed(g.tensors[n].shape))[:2]
+                qs.append(q_flat.reshape(out_dim, in_dim).T)
+                ss.append(s_flat.reshape(out_dim, in_dim // 32).T)
+            return {
+                "q8:q": jnp.asarray(np.stack(qs)),
+                "q8:s": jnp.asarray(np.stack(ss).astype(np.float32)),
+            }
+        return stack_layers(suffix, True)
+
     layers = {
         "attn_norm": stack_layers("attn_norm.weight", False),
-        "wq": stack_layers("attn_q.weight", True),
-        "wk": stack_layers("attn_k.weight", True),
-        "wv": stack_layers("attn_v.weight", True),
-        "wo": stack_layers("attn_output.weight", True),
+        "wq": stack_matmul_weight("attn_q.weight"),
+        "wk": stack_matmul_weight("attn_k.weight"),
+        "wv": stack_matmul_weight("attn_v.weight"),
+        "wo": stack_matmul_weight("attn_output.weight"),
         "q_norm": stack_layers("attn_q_norm.weight", False),
         "k_norm": stack_layers("attn_k_norm.weight", False),
         "ffn_norm": stack_layers("ffn_norm.weight", False),
-        "w_gate": stack_layers("ffn_gate.weight", True),
-        "w_up": stack_layers("ffn_up.weight", True),
-        "w_down": stack_layers("ffn_down.weight", True),
+        "w_gate": stack_matmul_weight("ffn_gate.weight"),
+        "w_up": stack_matmul_weight("ffn_up.weight"),
+        "w_down": stack_matmul_weight("ffn_down.weight"),
     }
     out = {
         "token_embd": _to_dev(g.get("token_embd.weight"), dtype),  # [vocab, h]
@@ -264,6 +291,8 @@ def quantize_decoder_params(dec_params: dict) -> dict:
     out = dict(dec_params)
     layers = dict(dec_params["layers"])
     for key in _DEC_QUANT_KEYS:
+        if isinstance(layers[key], dict):
+            continue  # already quantized (native Q8_0 GGUF load)
         w = np.asarray(layers[key], dtype=np.float32)   # [L, in, out]
         qs, ss = [], []
         for l in range(w.shape[0]):

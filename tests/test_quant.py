@@ -79,3 +79,57 @@ def test_quantized_decoder_close_to_dense(rng):
     assert np.argmax(dense_logits) == np.argmax(quant_logits)
     denom = np.abs(dense_logits).max()
     assert np.abs(quant_logits - dense_logits).max() / denom < 0.05
+
+
+def test_native_q8_gguf_load(tmp_path, rng):
+    """A Q8_0 GGUF loads its blocks directly as int8 leaves (no requant),
+    and the pipeline produces the same tokens as dequantized-float load."""
+    import jax
+    from qwen3_asr_tpu.ops.q8_matmul import is_quant_leaf
+    from qwen3_asr_tpu.runtime.gguf import GGML_TYPE_Q8_0
+    from qwen3_asr_tpu.runtime.params import load_asr_model
+    import qwen3_asr_tpu.runtime.params as P
+    from helpers import make_byte_vocab, write_tiny_gguf
+
+    cfg = tiny_asr_config()
+    params = jax.tree.map(np.asarray, init_asr_params(cfg, 17, jnp.float32))
+    vocab = make_byte_vocab(cfg.decoder.vocab_size, {})
+    path = str(tmp_path / "q8.gguf")
+    write_tiny_gguf(path, cfg, params, vocab=vocab, merges=[],
+                    weight_type=GGML_TYPE_Q8_0)
+
+    _, loaded, _, _ = load_asr_model(path, dtype=jnp.float32)
+    lw = loaded["decoder"]["layers"]
+    assert is_quant_leaf(lw["wq"]) and is_quant_leaf(lw["w_down"])
+    assert lw["wq"]["q8:q"].dtype == jnp.int8
+
+    # int8 values must be the very blocks the file stores: dequantize and
+    # compare against GGUFFile.get()'s float decode
+    from qwen3_asr_tpu.ops.q8_matmul import dequantize_q8_weights
+    from qwen3_asr_tpu.runtime.gguf import GGUFFile
+    g = GGUFFile(path)
+    ref = g.get("blk.0.attn_q.weight").T  # [in, out] float
+    back = np.asarray(dequantize_q8_weights(lw["wq"]["q8:q"][0], lw["wq"]["q8:s"][0]))
+    np.testing.assert_allclose(back, ref, atol=1e-6, rtol=0)
+
+    # forward equivalence: quant leaves vs dequantized dense weights
+    T = 6
+    tokens = rng.integers(0, 100, size=T).astype(np.int32)
+    h0 = embed_with_audio(loaded["decoder"], jnp.asarray(tokens), None, 0, 0)
+    cache = init_kv_cache(cfg.decoder, T, jnp.float32)
+    h_q, _ = decoder_forward(loaded["decoder"], cfg.decoder, h0,
+                             jnp.arange(T, dtype=jnp.int32), cache,
+                             jnp.int32(0), jnp.int32(T))
+    dense = dict(loaded["decoder"])
+    dense["layers"] = {
+        k: (jnp.stack([dequantize_q8_weights(v["q8:q"][l], v["q8:s"][l])
+                       for l in range(cfg.decoder.n_layers)])
+            if isinstance(v, dict) else v)
+        for k, v in lw.items()
+    }
+    cache = init_kv_cache(cfg.decoder, T, jnp.float32)
+    h_d, _ = decoder_forward(dense, cfg.decoder, h0,
+                             jnp.arange(T, dtype=jnp.int32), cache,
+                             jnp.int32(0), jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_d),
+                               atol=1e-4, rtol=0)
