@@ -222,8 +222,12 @@ def decoder_forward(
 
 def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Array:
     """Tied lm head on one row: [hidden] -> [vocab] f32
-    (text_decoder.cpp:564-574)."""
+    (text_decoder.cpp:564-574). Uses the int8 copy when quantized."""
     x = rms_norm(h_last, dec_params["output_norm"], cfg.rms_norm_eps)
+    if "lm_head_q8" in dec_params:
+        # the int8 head may be column-padded to a tile multiple; slice back
+        # to the true vocab (padded zero-logit columns must not reach argmax)
+        return matmul_any(x[None], dec_params["lm_head_q8"])[0, : cfg.vocab_size]
     return jnp.dot(
         x, dec_params["token_embd"].T, preferred_element_type=jnp.float32
     )

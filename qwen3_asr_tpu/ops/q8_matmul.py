@@ -89,7 +89,13 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
     if jax.default_backend() not in ("tpu", "axon") and not interpret:
         return _q8_matmul_xla(x, q, s)
 
-    TILE = 512 if n_out % 512 == 0 else (256 if n_out % 256 == 0 else n_out)
+    TILE = min(512, n_out)
+    if n_out % TILE != 0:
+        # pad the out dim (e.g. the 151936-wide lm head) with zero columns
+        pad = -(-n_out // TILE) * TILE - n_out
+        qp = jnp.pad(q, ((0, 0), (0, pad)))
+        sp = jnp.pad(s, ((0, 0), (0, pad)))
+        return q8_matmul(x, qp, sp, interpret=interpret)[:, :n_out]
     grid = (n_out // TILE,)
     return pl.pallas_call(
         _q8_kernel,
@@ -117,9 +123,23 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
 # pytree leaf for quantized weights
 # ---------------------------------------------------------------------------
 
-def quant_leaf(w: np.ndarray) -> dict:
-    """Build a {'q8': {'q','s'}} pytree leaf from a float [in, out] matrix."""
+def quant_leaf(w: np.ndarray, pad_out_to: int = 1) -> dict:
+    """Build a quantized pytree leaf from a float [in, out] matrix.
+
+    `pad_out_to`: pad the out dim once at build time (kernels tile out in
+    512 chunks; padding per call would copy the whole int8 matrix every
+    step). The true width is sliced back in matmul_any.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    n_out = w.shape[1]
+    padded = -(-n_out // pad_out_to) * pad_out_to
+    if padded != n_out:
+        w = np.pad(w, ((0, 0), (0, padded - n_out)))
     q, s = quantize_q8_weights(w)
+    # NOTE: a padded leaf returns `padded` columns from matmul_any; callers
+    # that padded must slice back to the true width with a STATIC size
+    # (e.g. lm_logits slices to cfg.vocab_size) — zero columns would
+    # otherwise win an argmax over all-negative logits.
     return {"q8:q": jnp.asarray(q), "q8:s": jnp.asarray(s)}
 
 

@@ -285,7 +285,10 @@ def quantize_decoder_params(dec_params: dict) -> dict:
     dense — same policy as the reference converter's Q8_0 mode
     (convert_hf_to_gguf.py:231-252).
 
-    Stacked [L, in, out] weights quantize per layer and restack."""
+    Stacked [L, in, out] weights quantize per layer and restack. The tied
+    lm head additionally gets an int8 copy (`lm_head_q8`) — it is read in
+    full every decode step while the embedding gather stays on the dense
+    table."""
     from qwen3_asr_tpu.ops.q8_matmul import quantize_q8_weights
 
     out = dict(dec_params)
@@ -304,6 +307,13 @@ def quantize_decoder_params(dec_params: dict) -> dict:
             "q8:s": jnp.asarray(np.stack(ss)),
         }
     out["layers"] = layers
+    if "lm_head_q8" not in out:
+        from qwen3_asr_tpu.ops.q8_matmul import quant_leaf
+
+        out["lm_head_q8"] = quant_leaf(
+            np.asarray(dec_params["token_embd"], np.float32).T,  # [hidden, vocab]
+            pad_out_to=512,
+        )
     return out
 
 
