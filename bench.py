@@ -66,7 +66,8 @@ def main():
 
     def pipeline(max_tokens):
         t0 = time.perf_counter()
-        mel = log_mel_spectrogram(audio, filters)
+        mel = log_mel_spectrogram(audio, filters, as_numpy=False)
+        mel.block_until_ready()
         t1 = time.perf_counter()
         feats = encode_audio(params["encoder"], cfg.encoder, mel)
         feats.block_until_ready()
@@ -97,13 +98,30 @@ def main():
             "n_tokens": int(n_kept),
         }
 
-    # warmup (compile)
+    def fused(max_tokens):
+        """Single-dispatch fused transcription (models/e2e.py): the whole
+        utterance is ONE device round trip."""
+        from qwen3_asr_tpu.models.e2e import transcribe_fused
+
+        cfg_noeos = dataclasses.replace(cfg, decoder=dcfg_noeos)
+        t0 = time.perf_counter()
+        _, n_kept = transcribe_fused(params, cfg_noeos, audio, filters,
+                                     max_tokens)
+        t1 = time.perf_counter()
+        return {"total_ms": (t1 - t0) * 1e3, "n_tokens": n_kept}
+
+    print("bench: compiling/warmup (staged)...", file=sys.stderr, flush=True)
     pipeline(n_decode_tokens)
-    # timed runs
+    print("bench: compiling/warmup (fused)...", file=sys.stderr, flush=True)
+    fused(n_decode_tokens)
+    print("bench: timing...", file=sys.stderr, flush=True)
     runs = [pipeline(n_decode_tokens) for _ in range(3)]
     best = min(runs, key=lambda r: r["total_ms"])
+    fused_runs = [fused(n_decode_tokens) for _ in range(3)]
+    best_fused = min(fused_runs, key=lambda r: r["total_ms"])
 
-    rtf = seconds / (best["total_ms"] / 1e3)
+    total_ms = min(best["total_ms"], best_fused["total_ms"])
+    rtf = seconds / (total_ms / 1e3)
     tok_s = best["n_tokens"] / (best["decode_ms"] / 1e3)
     result = {
         "metric": "asr_realtime_factor_92s",
@@ -111,13 +129,15 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 18.4, 2),  # M2 Pro: 18.4x (BASELINE.md)
         "detail": {
-            "total_ms": round(best["total_ms"], 1),
+            "total_ms": round(total_ms, 1),
+            "staged_total_ms": round(best["total_ms"], 1),
+            "fused_total_ms": round(best_fused["total_ms"], 1),
             "mel_ms": round(best["mel_ms"], 1),
             "encode_ms": round(best["encode_ms"], 1),
             "decode_ms": round(best["decode_ms"], 1),
             "decode_tokens_per_s": round(tok_s, 1),
             "decode_tokens": best["n_tokens"],
-            "vs_baseline_total_ms": round(5007 / best["total_ms"], 2),
+            "vs_baseline_total_ms": round(5007 / total_ms, 2),
             "vs_baseline_tok_s": round(tok_s / 77.0, 2),
             "device": str(jax.devices()[0]),
             "weights": ("gguf" if gguf else "synthetic-bf16")

@@ -1,0 +1,88 @@
+"""Fully-fused end-to-end transcription: ONE jitted program per utterance.
+
+PCM-in -> tokens-out: mel + encoder + prompt splice + prefill + the whole
+greedy decode loop compile into a single XLA program, so a transcription is
+exactly one device dispatch and one host sync. (The 3-stage pipeline costs
+three round trips; the reference costs O(tokens), qwen3_asr.cpp:216-303.)
+
+Shapes are exact per audio length — one compile per distinct mel frame
+count. Use for fixed-length workloads (benchmarks, uniform-length serving
+buckets); the staged pipeline in pipeline/asr.py handles arbitrary lengths
+with bucketed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.audio.mel import _mel_device, num_mel_frames, reflect_pad
+from qwen3_asr_tpu.config import HOP_LENGTH, ASRModelConfig
+from qwen3_asr_tpu.models.encoder import _encode_jit, chunk_output_len
+from qwen3_asr_tpu.models.generate import generate_greedy
+from qwen3_asr_tpu.text.prompt import audio_start_pos, build_asr_prompt
+
+
+def expected_n_audio(n_frames: int, chunk: int = 100) -> int:
+    n_chunks = -(-n_frames // chunk)
+    return chunk_output_len(chunk) * (n_chunks - 1) + chunk_output_len(
+        n_frames - (n_chunks - 1) * chunk
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_frames", "max_tokens", "audio_offset"),
+)
+def _transcribe_fused_jit(
+    params: dict,
+    cfg: ASRModelConfig,
+    pcm_padded: jax.Array,      # [(n_frames+2)*HOP] int16 or f32
+    filters_t: jax.Array,       # [201, n_mels]
+    prompt: jax.Array,          # [n_prompt] int32 (exact length)
+    n_frames: int,
+    audio_offset: int,
+    max_tokens: int,
+):
+    mel = _mel_device(pcm_padded, filters_t, n_frames).T     # [n_mels, N]
+    feats = _encode_jit(params["encoder"], cfg.encoder, mel, n_frames)
+    n_audio = feats.shape[0]
+    n_prompt = prompt.shape[0]
+    return generate_greedy(
+        params["decoder"], cfg.decoder, prompt, jnp.int32(n_prompt),
+        feats, jnp.int32(n_audio), audio_offset, max_tokens,
+    )
+
+
+def transcribe_fused(
+    params: dict,
+    cfg: ASRModelConfig,
+    samples: np.ndarray,
+    filters: np.ndarray,
+    max_tokens: int,
+    system_prompt_tokens=None,
+) -> tuple[np.ndarray, int]:
+    """-> (tokens [max_tokens], n_kept). One device round trip."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = samples.astype(np.float32)
+    n_frames = num_mel_frames(len(samples))
+    padded = reflect_pad(samples)
+    need = (n_frames + 2) * HOP_LENGTH
+    buf = np.zeros(need, dtype=samples.dtype)
+    n_copy = min((n_frames - 1) * HOP_LENGTH + 400, len(padded), need)
+    buf[:n_copy] = padded[:n_copy]
+
+    n_audio = expected_n_audio(n_frames)
+    prompt = build_asr_prompt(n_audio, cfg.decoder, system_prompt_tokens)
+    offset = audio_start_pos(prompt, cfg.decoder)
+
+    out, n_kept = _transcribe_fused_jit(
+        params, cfg, jnp.asarray(buf), jnp.asarray(filters.T),
+        jnp.asarray(np.asarray(prompt, np.int32)), n_frames, offset,
+        max_tokens,
+    )
+    return np.asarray(out), int(n_kept)

@@ -57,3 +57,31 @@ def test_pipeline_progress_callback(rng):
     streamed = asr.transcribe(audio, params)
     assert streamed.tokens == base.tokens
     assert calls and calls[-1] == len(streamed.tokens)
+
+
+def test_fused_matches_staged(rng):
+    """Single-dispatch fused transcription == staged pipeline."""
+    from qwen3_asr_tpu.models.e2e import transcribe_fused
+    from qwen3_asr_tpu.audio import generate_mel_filters
+
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(cfg, seed=13, vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+
+    t = np.arange(int(1.3 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    params = TranscribeParams(max_tokens=5, print_timing=False, prompt_bucket=32)
+    staged = asr.transcribe(audio, params)
+
+    out, n_kept = transcribe_fused(
+        asr.params, cfg, audio, generate_mel_filters(), max_tokens=5
+    )
+    assert list(out[:n_kept]) == staged.tokens
+
+    # int16 PCM input path too
+    pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
+    out2, n_kept2 = transcribe_fused(
+        asr.params, cfg, pcm, generate_mel_filters(), max_tokens=5
+    )
+    # int16/f32 differ by <1 LSB of PCM; greedy tokens should agree here
+    assert list(out2[:n_kept2]) == staged.tokens
