@@ -62,9 +62,12 @@ class AlignmentResult:
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_offset"))
 def _nar_classify(dec_params, cfg, tokens, n_valid, audio, n_audio,
                   audio_offset):
+    """-> per-position argmax class [P] int32. The argmax runs on device:
+    reading back [P, 5000] f32 logits would move ~50 MB per 92 s clip
+    through the host link for information worth 4 bytes/position."""
     h = nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset,
                     n_valid=n_valid)
-    return classify_logits(dec_params, cfg, h)
+    return jnp.argmax(classify_logits(dec_params, cfg, h), axis=-1)
 
 
 class ForcedAligner:
@@ -186,18 +189,18 @@ class ForcedAligner:
 
         t0 = time.perf_counter()
         with timer("fa.decode"):
-            logits = _nar_classify(
+            pred = _nar_classify(
                 self.params["decoder"], dcfg,
                 jnp.asarray(toks), jnp.int32(n_real),
                 audio_padded, jnp.int32(n_audio), audio_offset,
             )
-            logits = np.asarray(logits)[:n_real]
+            pred = np.asarray(pred)[:n_real]
         result.t_decode_ms = (time.perf_counter() - t0) * 1000
 
         # host post-processing
         ts_id = self.cfg.timestamp_token_id
         ts_positions = [i for i, t in enumerate(input_tokens) if t == ts_id]
-        classes = [int(np.argmax(logits[i])) for i in ts_positions]
+        classes = [int(pred[i]) for i in ts_positions]
         fixed = fix_timestamp_classes(classes)
         timestamps = classes_to_timestamps(
             fixed, self.cfg.timestamp_segment_time_ms
