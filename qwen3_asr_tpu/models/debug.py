@@ -18,7 +18,12 @@ import numpy as np
 
 from qwen3_asr_tpu.config import AudioEncoderConfig, DecoderConfig
 from qwen3_asr_tpu.models.decoder import rms_norm, rope_neox
-from qwen3_asr_tpu.models.encoder import _conv_frontend, sinusoidal_pe
+from qwen3_asr_tpu.models.encoder import (
+    _conv_frontend,
+    _encoder_block,
+    _layer_norm,
+    sinusoidal_pe,
+)
 from qwen3_asr_tpu.ops.q8_matmul import matmul_any
 
 
@@ -30,6 +35,33 @@ def encode_conv_only(params: dict, cfg: AudioEncoderConfig, mel) -> np.ndarray:
     feats = _conv_frontend(params, x)                 # [1, T_out, C*H]
     out = feats[0].astype(params["conv_out_w"].dtype) @ params["conv_out_w"]
     return np.asarray(out, dtype=np.float32)
+
+
+def encode_no_chunk(params: dict, cfg: AudioEncoderConfig, mel) -> np.ndarray:
+    """Full encoder over the WHOLE mel as one chunk — no 100-frame split, no
+    per-chunk positional reset (AudioEncoder::encode_no_chunk,
+    audio_encoder.cpp:603-852). For inputs <= one chunk this must equal the
+    production `encode_audio` exactly; for longer inputs it isolates the
+    effect of chunking in parity investigations."""
+    mel = jnp.asarray(mel, jnp.float32)
+    feats = _conv_frontend(params, mel[None, None])   # [1, T_out, C*H]
+    dtype = params["conv_out_w"].dtype
+    h = feats[0].astype(dtype) @ params["conv_out_w"]
+    h = h + sinusoidal_pe(h.shape[0], cfg.d_model, dtype)
+
+    n_layers = params["layers"]["wq"].shape[0]
+    for il in range(n_layers):
+        layer = jax.tree.map(lambda a: a[il], params["layers"])
+        h = _encoder_block(cfg, h, layer, window=None)
+
+    h = _layer_norm(h, params["ln_post_w"], params["ln_post_b"],
+                    cfg.layer_norm_eps)
+    if params.get("proj1_w") is not None:
+        h = jax.nn.gelu(h @ params["proj1_w"] + params["proj1_b"],
+                        approximate=False)
+    if params.get("proj2_w") is not None:
+        h = h @ params["proj2_w"] + params["proj2_b"]
+    return np.asarray(h, dtype=np.float32)
 
 
 def decoder_debug(

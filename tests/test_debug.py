@@ -51,6 +51,21 @@ def test_encode_conv_only_shape(rng):
     assert np.isfinite(out).all()
 
 
+def test_encode_no_chunk_matches_chunked_within_one_chunk(rng):
+    """For audio <= one chunk, the no-chunk debug path must equal the
+    production chunked encoder exactly (audio_encoder.cpp:603-852: the only
+    differences are the chunk split and the per-chunk position reset)."""
+    from qwen3_asr_tpu.models.debug import encode_no_chunk
+    from qwen3_asr_tpu.models.encoder import encode_audio
+
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=9, dtype=jnp.float32)
+    mel = rng.standard_normal((128, cfg.encoder.chunk_size)).astype(np.float32)
+    chunked = np.asarray(encode_audio(params["encoder"], cfg.encoder, mel))
+    whole = encode_no_chunk(params["encoder"], cfg.encoder, mel)
+    np.testing.assert_allclose(whole, chunked, atol=2e-5)
+
+
 def test_dump_intermediates_tool(tmp_path, rng):
     from qwen3_asr_tpu.audio import write_wav
     from qwen3_asr_tpu.tools.dump_intermediates import main
