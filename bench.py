@@ -51,6 +51,9 @@ def main():
         from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
         params["decoder"] = quantize_decoder_params(params["decoder"])
+    from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+    params["decoder"] = fuse_decoder_params(params["decoder"])
     params = jax.device_put(params)
     dcfg = cfg.decoder
     # force a fixed-length decode: EOS id outside the argmax range

@@ -188,9 +188,17 @@ def decoder_forward(
             lp, k_cache_l, v_cache_l = xs
 
         x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
-        q = matmul_any(x, lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
-        k = matmul_any(x, lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
-        v = matmul_any(x, lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        dq = cfg.n_heads * cfg.head_dim
+        dkv = cfg.n_kv_heads * cfg.head_dim
+        if "wqkv" in lp:  # fused layout (runtime/params.py::fuse_decoder_params)
+            qkv = matmul_any(x, lp["wqkv"])
+            q = qkv[:, :dq].reshape(T, cfg.n_heads, cfg.head_dim)
+            k = qkv[:, dq : dq + dkv].reshape(T, cfg.n_kv_heads, cfg.head_dim)
+            v = qkv[:, dq + dkv :].reshape(T, cfg.n_kv_heads, cfg.head_dim)
+        else:
+            q = matmul_any(x, lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
+            k = matmul_any(x, lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
+            v = matmul_any(x, lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
 
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
@@ -202,8 +210,13 @@ def decoder_forward(
         h1 = x_in + x
 
         x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
-        x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
+        if "w_gate_up" in lp:
+            gu = matmul_any(x, lp["w_gate_up"])
+            ffn = gu.shape[-1] // 2
+            x = matmul_any(jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:], lp["w_down"])
+        else:
+            gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
+            x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
         return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
     xs = dec_params["layers"] if prefill else (

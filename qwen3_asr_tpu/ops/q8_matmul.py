@@ -80,6 +80,13 @@ def _q8_kernel(x_ref, q_ref, s_ref, o_ref):
     )
 
 
+# Above this row count the Pallas kernel's [T, in] + [T, TILE] VMEM blocks
+# stop fitting (the 92 s prompt prefill OOMed scoped vmem at T=1280), and
+# the matmul is compute-bound anyway — dequantize-and-dot via XLA instead.
+# The int8-streaming kernel is for the HBM-bound T=1 decode GEMVs.
+_MAX_KERNEL_ROWS = 256
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
               interpret: bool = False) -> jax.Array:
@@ -87,6 +94,8 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
     T, n_in = x.shape
     n_out = q.shape[1]
     if jax.default_backend() not in ("tpu", "axon") and not interpret:
+        return _q8_matmul_xla(x, q, s)
+    if T > _MAX_KERNEL_ROWS and not interpret:
         return _q8_matmul_xla(x, q, s)
 
     TILE = min(512, n_out)

@@ -88,6 +88,9 @@ class ForcedAligner:
             )
             self.tokenizer = BPETokenizer(vocab, merges)
             self.mel_filters = generate_mel_filters()
+            from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+            self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
             self.params = jax.device_put(self.params)
             return True
         except Exception as e:
@@ -98,6 +101,9 @@ class ForcedAligner:
                     vocab=None, merges=None) -> None:
         self.cfg = cfg
         self.params = init_aligner_params(cfg, seed, self.dtype)
+        from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+        self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

@@ -87,6 +87,9 @@ class Qwen3ASR:
                 self.params["decoder"] = quantize_decoder_params(
                     self.params["decoder"]
                 )
+            from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+            self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
             self.params = jax.device_put(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
@@ -107,6 +110,9 @@ class Qwen3ASR:
             from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
             self.params["decoder"] = quantize_decoder_params(self.params["decoder"])
+        from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+        self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

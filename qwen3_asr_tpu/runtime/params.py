@@ -317,6 +317,47 @@ def quantize_decoder_params(dec_params: dict) -> dict:
     return out
 
 
+def fuse_decoder_params(dec_params: dict) -> dict:
+    """Fuse per-layer QKV and gate/up projections into single matmul
+    weights (`wqkv`, `w_gate_up`), replacing the separate leaves.
+
+    Bit-identical outputs (the concatenated matmul computes exactly the same
+    columns; Q8 block scales run along the shared `in` dim, so int8 leaves
+    concatenate losslessly too). The win is decode-step dispatch: 3 GEMVs ->
+    1 for attention projections, 2 -> 1 for the SwiGLU input — fewer, larger
+    HBM streams per token. `decoder_forward` accepts either layout.
+
+    Note: the tp sharding rules in parallel/mesh.py key on the UNFUSED
+    names (a fused out-dim shard would split Q from K/V mid-matrix), so the
+    multi-chip path keeps separate leaves; fusion is the single-chip layout.
+    """
+    layers = dict(dec_params["layers"])
+
+    def _cat(keys):
+        vals = [layers[k] for k in keys]
+        kinds = [isinstance(v, dict) for v in vals]
+        if all(kinds):
+            return {
+                "q8:q": jnp.concatenate([v["q8:q"] for v in vals], axis=-1),
+                "q8:s": jnp.concatenate([v["q8:s"] for v in vals], axis=-1),
+            }
+        if any(kinds):
+            return None  # mixed quantized/dense: leave unfused
+        return jnp.concatenate(vals, axis=-1)
+
+    qkv = _cat(("wq", "wk", "wv"))
+    if qkv is not None:
+        layers["wqkv"] = qkv
+        del layers["wq"], layers["wk"], layers["wv"]
+    gate_up = _cat(("w_gate", "w_up"))
+    if gate_up is not None:
+        layers["w_gate_up"] = gate_up
+        del layers["w_gate"], layers["w_up"]
+    out = dict(dec_params)
+    out["layers"] = layers
+    return out
+
+
 # ---------------------------------------------------------------------------
 # random init (tests / benchmarks without model files)
 # ---------------------------------------------------------------------------

@@ -204,6 +204,45 @@ def test_generate_matches_naive_oracle(tiny, rng):
     assert ours == ref
 
 
+def test_fused_qkv_gate_up_is_exact(tiny, rng):
+    """fuse_decoder_params (wqkv / w_gate_up) must not change generation:
+    the fused matmul computes identical columns, so greedy tokens match
+    token-for-token. Also covers the quantized-leaf concat path."""
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg, params = tiny
+    dcfg = cfg.decoder
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = (
+        [5, 6]
+        + [dcfg.audio_pad_token_id] * n_audio
+        + [dcfg.audio_end_token_id, 7]
+    )
+    P = 16
+    toks = np.full(P, dcfg.pad_token_id % dcfg.vocab_size, np.int32)
+    toks[: len(prompt)] = prompt
+    args = (jnp.asarray(toks), jnp.int32(len(prompt)), jnp.asarray(audio),
+            jnp.int32(n_audio), 2, 8)
+
+    for quant in (False, True):
+        dec = params["decoder"]
+        if quant:
+            dec = quantize_decoder_params(dec)
+        fused = fuse_decoder_params(dec)
+        assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+        base_out, base_n = generate_greedy(dec, dcfg, *args,
+                                           cache_dtype=jnp.float32)
+        f_out, f_n = generate_greedy(fused, dcfg, *args,
+                                     cache_dtype=jnp.float32)
+        assert int(base_n) == int(f_n)
+        n = int(base_n)
+        assert list(np.asarray(base_out)[:n]) == list(np.asarray(f_out)[:n])
+
+
 def test_nar_and_classify_head(tiny_fa, rng):
     cfg, params = tiny_fa
     dec = params["decoder"]
