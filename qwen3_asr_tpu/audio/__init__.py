@@ -1,4 +1,4 @@
-from qwen3_asr_tpu.audio.wav import load_wav, write_wav
+from qwen3_asr_tpu.audio.wav import load_wav, load_wav_bytes, write_wav
 from qwen3_asr_tpu.audio.mel import (
     generate_mel_filters,
     log_mel_spectrogram,
@@ -7,6 +7,7 @@ from qwen3_asr_tpu.audio.mel import (
 
 __all__ = [
     "load_wav",
+    "load_wav_bytes",
     "write_wav",
     "generate_mel_filters",
     "log_mel_spectrogram",

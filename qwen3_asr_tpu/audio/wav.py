@@ -25,6 +25,14 @@ def load_wav(path: str, raw_int16: bool = False) -> tuple[np.ndarray, int]:
     (channel averaging is not int16-exact)."""
     with open(path, "rb") as f:
         data = f.read()
+    return load_wav_bytes(data, raw_int16, name=path)
+
+
+def load_wav_bytes(
+    data: bytes, raw_int16: bool = False, name: str = "<bytes>"
+) -> tuple[np.ndarray, int]:
+    """Parse in-memory WAV bytes (serving path) — same contract as load_wav."""
+    path = name
 
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError(f"Not a valid WAV file: {path}")

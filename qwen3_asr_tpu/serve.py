@@ -1,0 +1,235 @@
+"""Serving: dynamic-batched transcription behind a thread-safe queue + HTTP.
+
+The reference is a one-shot CLI (main.cpp); production TPU serving wants the
+opposite shape: a resident process with weights pinned in HBM, compiled
+programs cached per shape bucket, and concurrent requests batched into one
+device dispatch (batching is near-free on the MXU until the batch dim fills
+a tile — decode is HBM-bound on weight reads, which are amortized across
+the batch).
+
+Design:
+- `ASRServer.submit(samples|path) -> Future`: requests queue up; a single
+  worker thread drains the queue, groups up to `max_batch` requests within
+  `max_wait_ms`, and runs them as ONE `transcribe_batch` call. A single
+  dispatch thread keeps the JAX program order deterministic — no device
+  contention, no locks around the runtime.
+- `serve_http()`: minimal stdlib HTTP front-end —
+    POST /v1/transcribe  (body: 16 kHz mono WAV bytes) -> {"text": ...}
+    GET  /healthz        -> {"status": "ok", ...}
+  Handler threads only parse bytes and wait on futures; all device work
+  stays on the worker thread.
+
+Latency/throughput knobs: `max_batch` (device batch), `max_wait_ms`
+(batching window), `TranscribeParams.prompt_bucket` (shape-bucket
+granularity = number of distinct compiled programs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+
+import numpy as np
+
+from qwen3_asr_tpu.audio import load_wav_bytes
+from qwen3_asr_tpu.config import SAMPLE_RATE
+from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+
+
+@dataclass
+class _Request:
+    samples: np.ndarray
+    future: Future
+
+
+class ASRServer:
+    """Dynamic-batching wrapper around a loaded `Qwen3ASR`."""
+
+    def __init__(
+        self,
+        asr: Qwen3ASR,
+        params: TranscribeParams | None = None,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.asr = asr
+        self.params = params or TranscribeParams(print_timing=False)
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.n_served = 0
+        self.n_batches = 0
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, samples: np.ndarray) -> Future:
+        """Enqueue one utterance (float32/int16 16 kHz samples) -> Future
+        resolving to a TranscribeResult."""
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(samples), fut))
+        return fut
+
+    def transcribe(self, samples: np.ndarray):
+        return self.submit(samples).result()
+
+    def close(self):
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=10)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then batch whatever arrives within
+        the window (up to max_batch)."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                if len(batch) == 1:
+                    results = [self.asr.transcribe(batch[0].samples, self.params)]
+                else:
+                    results = self.asr.transcribe_batch(
+                        [r.samples for r in batch], self.params
+                    )
+                for req, res in zip(batch, results):
+                    req.future.set_result(res)
+            except Exception as e:  # noqa: BLE001 — propagate to all waiters
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+            self.n_served += len(batch)
+            self.n_batches += 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib only)
+# ---------------------------------------------------------------------------
+
+def _make_handler(server: ASRServer):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "served": server.n_served,
+                    "batches": server.n_batches,
+                })
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/transcribe":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(length)
+                samples, sr = load_wav_bytes(data, raw_int16=True)
+                if sr != SAMPLE_RATE:
+                    self._reply(400, {"error": f"Audio must be 16kHz, got {sr} Hz"})
+                    return
+                t0 = time.perf_counter()
+                result = server.submit(samples).result()
+                if not result.success:
+                    self._reply(500, {"error": result.error_msg})
+                    return
+                self._reply(200, {
+                    "text": result.text,
+                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                })
+            except Exception as e:  # noqa: BLE001
+                self._reply(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # stderr, stdout stays data-only
+            print("serve: " + fmt % args, file=sys.stderr, flush=True)
+
+    return Handler
+
+
+def serve_http(server: ASRServer, host: str = "127.0.0.1", port: int = 8000):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    print(f"serving on http://{host}:{httpd.server_address[1]}", file=sys.stderr,
+          flush=True)
+    return httpd
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="qwen3-asr serving daemon")
+    p.add_argument("-m", "--model", required=True, help="ASR GGUF model")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-tokens", type=int, default=1024)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 decode path (Pallas dequant matmul)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=args.quantize)
+    if not asr.load_model(args.model):
+        print(f"Error: {asr.error_msg}", file=sys.stderr)
+        return 1
+    server = ASRServer(
+        asr,
+        TranscribeParams(max_tokens=args.max_tokens, print_timing=False),
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    httpd = serve_http(server, args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Serving layer: dynamic batching correctness + the HTTP front-end."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+from qwen3_asr_tpu.serve import ASRServer, serve_http
+
+from helpers import make_byte_vocab
+
+
+def _tiny_asr():
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(cfg, seed=7,
+                    vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    return asr
+
+
+def _tone(freq, seconds=1.0):
+    t = np.arange(int(seconds * 16000)) / 16000
+    return (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_server_batches_match_single(rng):
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32)
+    audios = [_tone(f, s) for f, s in
+              [(220, 1.0), (440, 1.3), (880, 0.8), (330, 1.0)]]
+    expected = [asr.transcribe(a, params).tokens for a in audios]
+
+    server = ASRServer(asr, params, max_batch=4, max_wait_ms=50.0)
+    try:
+        futures = [server.submit(a) for a in audios]
+        got = [f.result(timeout=120) for f in futures]
+        assert [g.tokens for g in got] == expected
+        assert all(g.success for g in got)
+        # the 50 ms window should have coalesced the 4 requests
+        assert server.n_batches < len(audios)
+    finally:
+        server.close()
+
+
+def test_http_transcribe_and_health(rng):
+    from qwen3_asr_tpu.audio.wav import write_wav
+    import tempfile, os
+
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0)
+    httpd = serve_http(server, "127.0.0.1", 0)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        with tempfile.TemporaryDirectory() as d:
+            wav_path = os.path.join(d, "a.wav")
+            write_wav(wav_path, _tone(440))
+            wav_bytes = open(wav_path, "rb").read()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe", data=wav_bytes,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert r.status == 200
+        assert "text" in body and "latency_ms" in body
+
+        # error surface: garbage bytes -> 400 with a message
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe", data=b"not a wav",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "WAV" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        server.close()
