@@ -56,6 +56,9 @@ def main():
     params["decoder"] = fuse_decoder_params(params["decoder"])
     params = jax.device_put(params)
     dcfg = cfg.decoder
+    unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
+    if unroll > 1:
+        dcfg = dataclasses.replace(dcfg, scan_unroll=unroll)
     # force a fixed-length decode: EOS id outside the argmax range
     dcfg_noeos = dataclasses.replace(dcfg, eos_token_id=-1)
 
@@ -145,6 +148,7 @@ def main():
             "device": str(jax.devices()[0]),
             "weights": ("gguf" if gguf else "synthetic-bf16")
             + ("+q8_0" if quant else ""),
+            "scan_unroll": unroll,
         },
     }
     print(json.dumps(result))

@@ -92,6 +92,11 @@ class DecoderConfig:
     assistant_token_id: int = ASSISTANT_TOKEN
     newline_token_id: int = NEWLINE_TOKEN
 
+    # layer-scan unroll factor (decode perf knob): lax.scan keeps one layer
+    # in flight; unrolling lets XLA overlap the next layer's HBM weight
+    # stream with the current layer's compute. Must divide n_layers.
+    scan_unroll: int = 1
+
     # forced-aligner head: when set, logits come from a `classify_num`-way
     # classification head over ALL positions instead of the tied lm head on
     # the last position (reference: forced_aligner.cpp:1073-1076).

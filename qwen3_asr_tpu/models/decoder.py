@@ -222,7 +222,8 @@ def decoder_forward(
     xs = dec_params["layers"] if prefill else (
         dec_params["layers"], kv_cache["k"], kv_cache["v"]
     )
-    h_out, (k_rows, v_rows) = jax.lax.scan(body, h, xs)
+    h_out, (k_rows, v_rows) = jax.lax.scan(body, h, xs,
+                                           unroll=cfg.scan_unroll)
     zero = jnp.int32(0)
     new_cache = {
         "k": jax.lax.dynamic_update_slice(
