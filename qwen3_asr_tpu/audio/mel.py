@@ -169,7 +169,7 @@ def _dft_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
-def _mel_device(padded, filters_t, n_frames: int):
+def _mel_device(padded, filters_t, n_frames: int, n_valid=None):
     """`padded` must have length (n_frames + 2) * HOP_LENGTH (zero-filled),
     either float32 or int16 (int16/32768 is converted on device — WAV is
     16-bit PCM, so shipping int16 halves the host->device transfer).
@@ -177,6 +177,11 @@ def _mel_device(padded, filters_t, n_frames: int):
     Framing uses reshape+slice+concat (HOP=160 rows; a 400-sample frame is
     rows [i, i+1] plus half of row [i+2]) instead of a gather — gathers are
     slow on TPU.
+
+    `n_valid` (dynamic scalar, bucketed path): frames >= n_valid are forced
+    to exactly 0.0 — the zero-fill the encoder's chunk padding expects
+    (without it, padding frames hold the normalized log floor, which the
+    last chunk's conv receptive field would read as non-silence).
     """
     hann, cos_t, sin_t = _dft_tables()
     hann = jnp.asarray(hann)
@@ -199,7 +204,10 @@ def _mel_device(padded, filters_t, n_frames: int):
     mel = jnp.dot(power, filters_t, precision=hi)
     logmel = jnp.log10(jnp.maximum(mel, _LOG_FLOOR))
     mmax = jnp.max(logmel) - 8.0
-    return (jnp.maximum(logmel, mmax) + 4.0) / 4.0            # [N, n_mels]
+    out = (jnp.maximum(logmel, mmax) + 4.0) / 4.0             # [N, n_mels]
+    if n_valid is not None:
+        out = jnp.where(jnp.arange(n_frames)[:, None] < n_valid, out, 0.0)
+    return out
 
 
 def log_mel_spectrogram(
@@ -238,3 +246,31 @@ def log_mel_spectrogram(
     out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), dev_frames)
     out = out[:n_frames].T  # [n_mels, n_frames]
     return np.asarray(out) if as_numpy else out
+
+
+def log_mel_spectrogram_padded(
+    samples: np.ndarray, filters: np.ndarray, bucket: int
+) -> tuple[jax.Array, int]:
+    """Bucketed device log-mel -> (padded [n_mels, F_b] on device, true
+    n_frames). F_b = n_frames rounded up to `bucket`; padding frames are
+    exactly 0.0 (the zero-fill the encoder's chunk conv expects). Unlike
+    `log_mel_spectrogram(bucket=...)`, the result is NOT sliced to the true
+    frame count — the padded shape is the point: every distinct audio
+    length within a bucket reuses ONE compiled program end-to-end
+    (mel/encoder/decode), instead of recompiling per length."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = samples.astype(np.float32)
+    n_frames = num_mel_frames(len(samples))
+    if n_frames <= 0 or bucket <= 0:
+        raise ValueError(f"need n_frames > 0 and bucket > 0 "
+                         f"(got {n_frames}, {bucket})")
+    dev_frames = -(-n_frames // bucket) * bucket
+    padded = reflect_pad(samples)
+    need = (n_frames - 1) * HOP_LENGTH + N_FFT
+    buf = np.zeros((dev_frames + 2) * HOP_LENGTH, dtype=samples.dtype)
+    n_copy = min(need, len(padded), len(buf))
+    buf[:n_copy] = padded[:n_copy]
+    out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), dev_frames,
+                      jnp.int32(n_frames))
+    return out.T, n_frames  # [n_mels, F_b]

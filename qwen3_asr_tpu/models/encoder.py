@@ -92,7 +92,12 @@ def _conv_frontend(params: dict, mel_chunks: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 2, 3, 1)).reshape(B, W, C * H)
 
 
-def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None):
+def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
+                   n_valid=None):
+    """One transformer block. `n_valid` (dynamic scalar, bucketed path):
+    attention keys/values past it are right-padding and masked out (their
+    rows still compute — garbage in, garbage out, discarded by the caller).
+    """
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
     T = h.shape[0]
 
@@ -103,14 +108,21 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None):
     if window is None:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
+        valid = jnp.int32(T) if n_valid is None else n_valid
         if has_pallas_tpu() and T >= 512:
             from qwen3_asr_tpu.ops.pallas_attention import flash_attention
 
-            attn = flash_attention(q, k, v, jnp.int32(T), causal=False,
+            attn = flash_attention(q, k, v, valid, causal=False,
                                    scale=scale)
-        else:
+        elif n_valid is None:
             attn = mha_attention(q, k, v, None, scale)
+        else:
+            mask = jnp.broadcast_to(
+                (jnp.arange(T) < n_valid)[None, :], (T, T)
+            )
+            attn = mha_attention(q, k, v, mask, scale)
     else:
+        assert n_valid is None, "block-diagonal path is exact-shape only"
         attn = block_diagonal_attention(q, k, v, window, scale)
     attn = attn.reshape(T, cfg.d_model)
     h = h + (attn @ layer["wo"] + layer["bo"])
@@ -175,3 +187,76 @@ def encode_audio(params: dict, cfg: AudioEncoderConfig, mel) -> jax.Array:
     """
     mel = jnp.asarray(mel)
     return _encode_jit(params, cfg, mel, int(mel.shape[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_padded_jit(params, cfg: AudioEncoderConfig, mel_p,
+                       gap_pos, gap_size, n_valid):
+    """Bucketed encoder: mel_p is [n_mel, F_b] with F_b a chunk multiple
+    and frames past the true count zeroed (audio/mel.py
+    ::log_mel_spectrogram_padded). One compiled program per F_b bucket.
+
+    All F_b//chunk chunks run the conv; the exact path's static valid-row
+    gather (the tail chunk emits chunk_output_len(tail) < 13 rows) becomes a
+    dynamic close-the-gap gather — delete `gap_size` rows at `gap_pos` —
+    so the true rows are the contiguous prefix. The transformer masks
+    attention to the first `n_valid` rows; rows past that are garbage the
+    caller never reads (generate's audio splice stops at its n_audio).
+    """
+    n_mel, F_b = mel_p.shape
+    chunk = cfg.chunk_size
+    assert F_b % chunk == 0, (F_b, chunk)
+    n_chunks = F_b // chunk
+    max_out = chunk_output_len(chunk)
+
+    chunks = (mel_p.astype(jnp.float32)
+              .reshape(n_mel, n_chunks, chunk).transpose(1, 0, 2)[:, None])
+    feats = _conv_frontend(params, chunks)
+    dtype = params["conv_out_w"].dtype
+    x = feats.astype(dtype) @ params["conv_out_w"]
+    x = x + sinusoidal_pe(max_out, cfg.d_model, dtype)[None]
+    x = x.reshape(n_chunks * max_out, cfg.d_model)
+
+    N = x.shape[0]
+    pos = jnp.arange(N)
+    idx = jnp.minimum(pos + jnp.where(pos >= gap_pos, gap_size, 0), N - 1)
+    h = jnp.take(x, idx, axis=0)
+
+    assert cfg.n_window_infer is None, "bucketed path: ASR encoder only"
+
+    def body(carry, layer):
+        return _encoder_block(cfg, carry, layer, None, n_valid=n_valid), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+
+    h = _layer_norm(h, params["ln_post_w"], params["ln_post_b"], cfg.layer_norm_eps)
+    if params.get("proj1_w") is not None:
+        h = jax.nn.gelu(h @ params["proj1_w"] + params["proj1_b"], approximate=False)
+    if params.get("proj2_w") is not None:
+        h = h @ params["proj2_w"] + params["proj2_b"]
+    return h
+
+
+def encode_audio_padded(
+    params: dict, cfg: AudioEncoderConfig, mel_p, n_frames_true: int
+) -> tuple[jax.Array, int]:
+    """Bucketed encode -> (padded feats [13 * F_b/chunk, d], true n_audio).
+
+    The first `n_audio` rows are the exact-path features; the rest is
+    padding garbage.
+    """
+    chunk = cfg.chunk_size
+    max_out = chunk_output_len(chunk)
+    k_full, tail = divmod(n_frames_true, chunk)
+    t_out = chunk_output_len(tail) if tail else max_out
+    if tail:
+        gap_pos, gap_size = k_full * max_out + t_out, max_out - t_out
+        n_audio = k_full * max_out + t_out
+    else:
+        gap_pos, gap_size = k_full * max_out, 0
+        n_audio = k_full * max_out
+    feats = _encode_padded_jit(
+        params, cfg, jnp.asarray(mel_p),
+        jnp.int32(gap_pos), jnp.int32(gap_size), jnp.int32(n_audio),
+    )
+    return feats, n_audio

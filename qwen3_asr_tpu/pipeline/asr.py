@@ -42,6 +42,11 @@ class TranscribeParams:
     print_timing: bool = True
     # shape-bucketing granularity for the prompt length (tokens)
     prompt_bucket: int = 128
+    # mel frame-count bucket (multiple of the 100-frame chunk; 0 = exact
+    # shapes). >0 bounds the number of compiled programs for arbitrary
+    # audio lengths: every length in a bucket reuses one mel/encoder/decode
+    # program (serving mode; the CLI default keeps exact shapes).
+    mel_bucket: int = 0
 
 
 @dataclasses.dataclass
@@ -147,10 +152,23 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
+        bucket_frames = params.mel_bucket
+        if bucket_frames > 0:
+            chunk = self.cfg.encoder.chunk_size
+            bucket_frames = -(-bucket_frames // chunk) * chunk
+
         # 1. mel ------------------------------------------------------------
         t0 = time.perf_counter()
         with timer("mel_spectrogram"):
-            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
+            if bucket_frames:
+                from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded
+
+                mel, n_frames_true = log_mel_spectrogram_padded(
+                    samples, self.mel_filters, bucket_frames
+                )
+            else:
+                mel = log_mel_spectrogram(samples, self.mel_filters,
+                                          as_numpy=False)
         result.t_mel_ms = (time.perf_counter() - t0) * 1000
         if params.print_progress:
             print(f"Mel spectrogram: [{mel.shape[0]}, {mel.shape[1]}]", file=sys.stderr, flush=True)
@@ -158,12 +176,20 @@ class Qwen3ASR:
         # 2. encoder ----------------------------------------------------------
         t0 = time.perf_counter()
         with timer("audio_encoding"):
-            audio_features = encode_audio(
-                self.params["encoder"], self.cfg.encoder, mel
-            )
+            if bucket_frames:
+                from qwen3_asr_tpu.models.encoder import encode_audio_padded
+
+                audio_features, n_audio = encode_audio_padded(
+                    self.params["encoder"], self.cfg.encoder, mel,
+                    n_frames_true,
+                )
+            else:
+                audio_features = encode_audio(
+                    self.params["encoder"], self.cfg.encoder, mel
+                )
+                n_audio = int(audio_features.shape[0])
             audio_features.block_until_ready()
         result.t_encode_ms = (time.perf_counter() - t0) * 1000
-        n_audio = int(audio_features.shape[0])
         if params.print_progress:
             print(f"Audio features: [{n_audio}, {audio_features.shape[1]}]", file=sys.stderr, flush=True)
 
@@ -183,14 +209,19 @@ class Qwen3ASR:
         P = -(-n_prompt // bucket) * bucket
         toks = np.full(P, dcfg.pad_token_id, np.int32)
         toks[:n_prompt] = prompt
-        # pad audio rows to the bucketed pad-token capacity
-        n_audio_cap = P - (n_prompt - n_audio)
-        audio_padded = jnp.zeros(
-            (n_audio_cap, dcfg.hidden_size), audio_features.dtype
-        )
-        audio_padded = jax.lax.dynamic_update_slice(
-            audio_padded, audio_features, (0, 0)
-        )
+        if bucket_frames:
+            # feats are already bucket-padded; the audio splice reads only
+            # the first n_audio rows, so no re-padding copy is needed
+            audio_padded = audio_features
+        else:
+            # pad audio rows to the bucketed pad-token capacity
+            n_audio_cap = P - (n_prompt - n_audio)
+            audio_padded = jnp.zeros(
+                (n_audio_cap, dcfg.hidden_size), audio_features.dtype
+            )
+            audio_padded = jax.lax.dynamic_update_slice(
+                audio_padded, audio_features, (0, 0)
+            )
 
         t0 = time.perf_counter()
         with timer("decode.generate"):
@@ -270,10 +301,23 @@ class Qwen3ASR:
                     continue
             else:
                 samples = np.asarray(audio, dtype=np.float32)
-            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
-            feats_list.append(
-                encode_audio(self.params["encoder"], self.cfg.encoder, mel)
-            )
+            if params.mel_bucket > 0:
+                from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded
+                from qwen3_asr_tpu.models.encoder import encode_audio_padded
+
+                chunk = self.cfg.encoder.chunk_size
+                bf = -(-params.mel_bucket // chunk) * chunk
+                mel, n_true = log_mel_spectrogram_padded(
+                    samples, self.mel_filters, bf
+                )
+                feats_list.append(encode_audio_padded(
+                    self.params["encoder"], self.cfg.encoder, mel, n_true
+                ))
+            else:
+                mel = log_mel_spectrogram(samples, self.mel_filters,
+                                          as_numpy=False)
+                f = encode_audio(self.params["encoder"], self.cfg.encoder, mel)
+                feats_list.append((f, int(f.shape[0])))
 
         valid = [i for i, f in enumerate(feats_list) if f is not None]
         if not valid:
@@ -281,7 +325,7 @@ class Qwen3ASR:
 
         prompts, offsets = [], []
         for i in valid:
-            n_audio = int(feats_list[i].shape[0])
+            n_audio = feats_list[i][1]
             prompt = build_asr_prompt(n_audio, dcfg)
             prompts.append(prompt)
             offsets.append(audio_start_pos(prompt, dcfg))
@@ -293,14 +337,18 @@ class Qwen3ASR:
         toks = np.full((B, P), dcfg.pad_token_id, np.int32)
         n_prompt = np.zeros((B,), np.int32)
         n_audio_arr = np.zeros((B,), np.int32)
-        cap = P - (len(prompts[0]) - int(feats_list[valid[0]].shape[0]))
+        cap = P - (len(prompts[0]) - feats_list[valid[0]][1])
+        cap = max(cap, max(int(feats_list[i][0].shape[0]) for i in valid))
         audio_padded = jnp.zeros((B, cap, dcfg.hidden_size), self.dtype)
         for b, i in enumerate(valid):
             toks[b, : len(prompts[b])] = prompts[b]
             n_prompt[b] = len(prompts[b])
-            n_audio_arr[b] = int(feats_list[i].shape[0])
-            audio_padded = audio_padded.at[b, : n_audio_arr[b]].set(
-                feats_list[i].astype(self.dtype)
+            n_audio_arr[b] = feats_list[i][1]
+            feats = feats_list[i][0]
+            # full (possibly bucket-padded) feats go in; the audio splice
+            # reads only the first n_audio rows per item
+            audio_padded = audio_padded.at[b, : feats.shape[0]].set(
+                feats.astype(self.dtype)
             )
 
         out, n_kept = batched_transcribe_step(

@@ -59,7 +59,10 @@ class ASRServer:
         max_wait_ms: float = 5.0,
     ):
         self.asr = asr
-        self.params = params or TranscribeParams(print_timing=False)
+        # mel_bucket=500 (5 s granularity): arbitrary request lengths reuse
+        # a bounded set of compiled programs instead of compiling per length
+        self.params = params or TranscribeParams(print_timing=False,
+                                                 mel_bucket=500)
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: queue.Queue = queue.Queue()
@@ -217,7 +220,8 @@ def main(argv=None) -> int:
         return 1
     server = ASRServer(
         asr,
-        TranscribeParams(max_tokens=args.max_tokens, print_timing=False),
+        TranscribeParams(max_tokens=args.max_tokens, print_timing=False,
+                         mel_bucket=500),
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
     )

@@ -1,0 +1,83 @@
+"""Bucketed (bounded-compile-count) serving path == exact path.
+
+The padded mel/encoder/decode chain (mel_bucket > 0) must reproduce the
+exact-shape pipeline: same encoder features on the valid rows, same greedy
+tokens. Covers the gap-closing gather (partial tail chunk), the attention
+valid-length mask, and the zero-fill of mel padding frames.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.audio import generate_mel_filters, log_mel_spectrogram
+from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded, num_mel_frames
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.models.encoder import encode_audio, encode_audio_padded
+from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+from qwen3_asr_tpu.runtime.params import init_asr_params
+
+from helpers import make_byte_vocab
+
+
+def _tone(seconds, freq=440):
+    t = np.arange(int(seconds * 16000)) / 16000
+    return (0.3 * np.sin(2 * np.pi * freq * t)
+            + 0.01 * np.sin(2 * np.pi * 3 * freq * t)).astype(np.float32)
+
+
+@pytest.mark.parametrize("seconds", [0.73, 1.0, 1.61])
+def test_padded_mel_matches_exact(seconds):
+    audio = _tone(seconds)
+    filters = generate_mel_filters()
+    exact = log_mel_spectrogram(audio, filters)                # [128, N]
+    padded, n_true = log_mel_spectrogram_padded(audio, filters, bucket=200)
+    assert n_true == num_mel_frames(len(audio)) == exact.shape[1]
+    assert padded.shape[1] % 200 == 0 and padded.shape[1] >= n_true
+    np.testing.assert_allclose(np.asarray(padded[:, :n_true]), exact,
+                               atol=1e-6)
+    # padding frames are exactly zero (the encoder's chunk conv reads them)
+    assert np.all(np.asarray(padded[:, n_true:]) == 0.0)
+
+
+@pytest.mark.parametrize("seconds", [0.73, 1.0, 2.4])
+def test_padded_encoder_matches_exact(rng, seconds):
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=5, dtype=jnp.float32)
+    audio = _tone(seconds)
+    filters = generate_mel_filters()
+
+    exact = np.asarray(encode_audio(
+        params["encoder"], cfg.encoder,
+        log_mel_spectrogram(audio, filters)
+    ))
+    mel_p, n_true = log_mel_spectrogram_padded(audio, filters, bucket=200)
+    feats, n_audio = encode_audio_padded(
+        params["encoder"], cfg.encoder, mel_p, n_true
+    )
+    assert n_audio == exact.shape[0]
+    np.testing.assert_allclose(np.asarray(feats)[:n_audio], exact,
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_bucketed_transcribe_matches_exact(rng):
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(cfg, seed=11,
+                    vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    audio = _tone(1.37)
+
+    exact = asr.transcribe(audio, TranscribeParams(
+        max_tokens=5, print_timing=False, prompt_bucket=32))
+    bucketed = asr.transcribe(audio, TranscribeParams(
+        max_tokens=5, print_timing=False, prompt_bucket=32, mel_bucket=200))
+    assert bucketed.success
+    assert bucketed.tokens == exact.tokens
+
+    # batch path with bucketing
+    outs = asr.transcribe_batch(
+        [audio, _tone(0.9, 330)],
+        TranscribeParams(max_tokens=5, print_timing=False, prompt_bucket=32,
+                         mel_bucket=200),
+    )
+    assert outs[0].success and outs[0].tokens == exact.tokens
