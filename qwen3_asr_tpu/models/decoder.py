@@ -25,7 +25,12 @@ import numpy as np
 
 from qwen3_asr_tpu.config import DecoderConfig
 from qwen3_asr_tpu.ops.attention import mha_attention
-from qwen3_asr_tpu.ops.q8_matmul import matmul_any
+from qwen3_asr_tpu.ops.q8_matmul import (
+    is_quant_leaf,
+    matmul_any,
+    q8_mlp,
+    q8_norm_matmul,
+)
 
 
 def rms_norm(x: jax.Array, w: jax.Array | None, eps: float) -> jax.Array:
@@ -187,15 +192,23 @@ def decoder_forward(
         else:
             lp, k_cache_l, v_cache_l = xs
 
-        x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
         dq = cfg.n_heads * cfg.head_dim
         dkv = cfg.n_kv_heads * cfg.head_dim
         if "wqkv" in lp:  # fused layout (runtime/params.py::fuse_decoder_params)
-            qkv = matmul_any(x, lp["wqkv"])
+            if is_quant_leaf(lp["wqkv"]):
+                # norm fused into the int8 kernel (one launch, no custom-call
+                # fusion break between norm and matmul)
+                qkv = q8_norm_matmul(
+                    x_in, lp["wqkv"], lp["attn_norm"], cfg.rms_norm_eps
+                ).astype(x_in.dtype)
+            else:
+                x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
+                qkv = matmul_any(x, lp["wqkv"])
             q = qkv[:, :dq].reshape(T, cfg.n_heads, cfg.head_dim)
             k = qkv[:, dq : dq + dkv].reshape(T, cfg.n_kv_heads, cfg.head_dim)
             v = qkv[:, dq + dkv :].reshape(T, cfg.n_kv_heads, cfg.head_dim)
         else:
+            x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
             q = matmul_any(x, lp["wq"]).reshape(T, cfg.n_heads, cfg.head_dim)
             k = matmul_any(x, lp["wk"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
             v = matmul_any(x, lp["wv"]).reshape(T, cfg.n_kv_heads, cfg.head_dim)
@@ -209,14 +222,24 @@ def decoder_forward(
         x = matmul_any(attn.reshape(T, cfg.n_heads * cfg.head_dim), lp["wo"])
         h1 = x_in + x
 
-        x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
-        if "w_gate_up" in lp:
-            gu = matmul_any(x, lp["w_gate_up"])
-            ffn = gu.shape[-1] // 2
-            x = matmul_any(jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:], lp["w_down"])
+        if ("w_gate_up" in lp and is_quant_leaf(lp["w_gate_up"])
+                and is_quant_leaf(lp["w_down"])):
+            # whole SwiGLU MLP in one int8 kernel (norm + both matmuls +
+            # silu*mul) — 60% of the decode step's weight bytes
+            x = q8_mlp(
+                h1, lp["w_gate_up"], lp["w_down"], lp["ffn_norm"],
+                cfg.rms_norm_eps, cfg.intermediate_size,
+            ).astype(h1.dtype)
         else:
-            gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
-            x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
+            x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
+            if "w_gate_up" in lp:
+                gu = matmul_any(x, lp["w_gate_up"])
+                ffn = gu.shape[-1] // 2
+                x = matmul_any(jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:],
+                               lp["w_down"])
+            else:
+                gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
+                x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
         return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
     xs = dec_params["layers"] if prefill else (
@@ -237,11 +260,15 @@ def decoder_forward(
 def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Array:
     """Tied lm head on one row: [hidden] -> [vocab] f32
     (text_decoder.cpp:564-574). Uses the int8 copy when quantized."""
-    x = rms_norm(h_last, dec_params["output_norm"], cfg.rms_norm_eps)
     if "lm_head_q8" in dec_params:
-        # the int8 head may be column-padded to a tile multiple; slice back
-        # to the true vocab (padded zero-logit columns must not reach argmax)
-        return matmul_any(x[None], dec_params["lm_head_q8"])[0, : cfg.vocab_size]
+        # norm fused into the int8 kernel; the head may be column-padded to
+        # a tile multiple — slice back to the true vocab (padded zero-logit
+        # columns must not reach argmax)
+        return q8_norm_matmul(
+            h_last[None], dec_params["lm_head_q8"],
+            dec_params["output_norm"], cfg.rms_norm_eps,
+        )[0, : cfg.vocab_size]
+    x = rms_norm(h_last, dec_params["output_norm"], cfg.rms_norm_eps)
     return jnp.dot(
         x, dec_params["token_embd"].T, preferred_element_type=jnp.float32
     )

@@ -129,6 +129,165 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# fused decode kernels (norm prologue / whole-MLP)
+#
+# Decode GEMVs are tiny, so per-op dispatch and custom-call fusion breaks
+# cost as much as the HBM streams themselves (measured: a lone 8 MB bf16
+# GEMV runs at ~270 GB/s; the q8 kernel at ~283 GB/s effective — both far
+# from the ~800 GB/s peak, the difference is fixed overhead). Fusing the
+# surrounding elementwise work (RMS-norm prologue, SwiGLU, both FFN matmuls)
+# into the Pallas kernels removes those boundaries on the int8 path.
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_f32(x, nw, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y * nw.astype(jnp.float32)
+
+
+def _q8_norm_kernel(x_ref, nw_ref, q_ref, s_ref, o_ref, *, eps):
+    xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps)
+    q = q_ref[:].astype(jnp.float32)
+    n_in, tile = q.shape
+    s_rows = jnp.broadcast_to(
+        s_ref[:][:, None, :], (n_in // Q8_BLOCK, Q8_BLOCK, tile)
+    ).reshape(n_in, tile)
+    o_ref[:] = jnp.dot(xn, q * s_rows, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def q8_norm_matmul(x: jax.Array, leaf: dict, norm_w: jax.Array, eps: float,
+                   interpret: bool = False) -> jax.Array:
+    """rms_norm(x) * norm_w @ W  with the norm fused into the int8 kernel.
+
+    x [T, in] (any float dtype), leaf {q8:q [in, out], q8:s} -> [T, out] f32.
+    """
+    q, s = leaf["q8:q"], leaf["q8:s"]
+    T, n_in = x.shape
+    n_out = q.shape[1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (not on_tpu and not interpret) or T > _MAX_KERNEL_ROWS:
+        xn = _rms_norm_f32(x, norm_w, eps)
+        return _q8_matmul_xla(xn, q, s)
+
+    TILE = min(512, n_out)
+    if n_out % TILE != 0:
+        pad = -(-n_out // TILE) * TILE - n_out
+        leaf_p = {"q8:q": jnp.pad(q, ((0, 0), (0, pad))),
+                  "q8:s": jnp.pad(s, ((0, 0), (0, pad)))}
+        return q8_norm_matmul(x, leaf_p, norm_w, eps,
+                              interpret=interpret)[:, :n_out]
+    grid = (n_out // TILE,)
+    return pl.pallas_call(
+        functools.partial(_q8_norm_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, n_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in // Q8_BLOCK, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, n_out), jnp.float32),
+        interpret=interpret,
+    )(x, norm_w.reshape(1, -1), q, s)
+
+
+def _q8_mlp_kernel(x_ref, nw_ref, qg_ref, sg_ref, qu_ref, su_ref,
+                   qd_ref, sd_ref, o_ref, ffn_ref, *, eps, n_gu):
+    """Whole SwiGLU MLP: phases 0..n_gu-1 fill the ffn scratch tile by
+    tile (silu(x@Wg) * (x@Wu)); phase n_gu runs scratch @ W_down."""
+    j = pl.program_id(0)
+
+    @pl.when(j < n_gu)
+    def _gate_up():
+        xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps)
+        n_in, tile = qg_ref.shape
+        blocks = n_in // Q8_BLOCK
+
+        def deq(q_r, s_r):
+            sr = jnp.broadcast_to(
+                s_r[:][:, None, :], (blocks, Q8_BLOCK, tile)
+            ).reshape(n_in, tile)
+            return q_r[:].astype(jnp.float32) * sr
+
+        g = jnp.dot(xn, deq(qg_ref, sg_ref),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        u = jnp.dot(xn, deq(qu_ref, su_ref),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        ffn_ref[:, pl.ds(j * tile, tile)] = jax.nn.silu(g) * u
+
+    @pl.when(j == n_gu)
+    def _down():
+        n_ffn, n_out = qd_ref.shape
+        sr = jnp.broadcast_to(
+            sd_ref[:][:, None, :], (n_ffn // Q8_BLOCK, Q8_BLOCK, n_out)
+        ).reshape(n_ffn, n_out)
+        w = qd_ref[:].astype(jnp.float32) * sr
+        o_ref[:] = jnp.dot(ffn_ref[:], w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "n_ffn", "interpret"))
+def q8_mlp(x: jax.Array, gu_leaf: dict, down_leaf: dict, norm_w: jax.Array,
+           eps: float, n_ffn: int, interpret: bool = False) -> jax.Array:
+    """Fused SwiGLU MLP on int8 weights: ONE kernel for
+    rms_norm -> gate/up matmuls -> silu*mul -> down matmul.
+
+    gu_leaf holds the fused [in, 2*n_ffn] gate‖up matrix
+    (runtime/params.py::fuse_decoder_params); down_leaf is [n_ffn, out].
+    Returns [T, out] f32 (caller adds the residual).
+    """
+    qgu, sgu = gu_leaf["q8:q"], gu_leaf["q8:s"]
+    qd, sd = down_leaf["q8:q"], down_leaf["q8:s"]
+    T, n_in = x.shape
+    n_out = qd.shape[1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (not on_tpu and not interpret) or T > _MAX_KERNEL_ROWS:
+        xn = _rms_norm_f32(x, norm_w, eps)
+        gu = _q8_matmul_xla(xn, qgu, sgu)
+        h = jax.nn.silu(gu[:, :n_ffn]) * gu[:, n_ffn:]
+        return _q8_matmul_xla(h, qd, sd)
+
+    TILE = min(512, n_ffn)
+    assert n_ffn % TILE == 0, (n_ffn, TILE)
+    n_gu = n_ffn // TILE
+    last = n_gu - 1
+    gate_ix = lambda j: (0, jnp.minimum(j, last))
+    up_ix = lambda j: (0, jnp.minimum(j, last) + n_gu)
+
+    return pl.pallas_call(
+        functools.partial(_q8_mlp_kernel, eps=eps, n_gu=n_gu),
+        grid=(n_gu + 1,),
+        in_specs=[
+            pl.BlockSpec((T, n_in), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_in), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, TILE), gate_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in // Q8_BLOCK, TILE), gate_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, TILE), up_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in // Q8_BLOCK, TILE), up_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ffn, n_out), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ffn // Q8_BLOCK, n_out), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, n_out), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, n_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, n_ffn), jnp.float32)],
+        interpret=interpret,
+    )(x, norm_w.reshape(1, -1), qgu, sgu, qgu, sgu, qd, sd)
+
+
+# ---------------------------------------------------------------------------
 # pytree leaf for quantized weights
 # ---------------------------------------------------------------------------
 

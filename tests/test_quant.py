@@ -46,6 +46,49 @@ def test_kernel_matches_xla_reference(rng, T, n_in, n_out):
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
 
 
+def test_norm_matmul_kernel_matches_xla(rng):
+    """Fused rms_norm + int8 matmul kernel == norm-then-matmul reference."""
+    from qwen3_asr_tpu.ops.q8_matmul import _rms_norm_f32, q8_norm_matmul
+
+    x = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+    nw = jnp.asarray(rng.standard_normal((256,)).astype(np.float32))
+    w = rng.standard_normal((256, 640)).astype(np.float32) * 0.05
+    q, s = quantize_q8_weights(w)
+    leaf = {"q8:q": jnp.asarray(q), "q8:s": jnp.asarray(s)}
+    ref = np.asarray(_q8_matmul_xla(_rms_norm_f32(x, nw, 1e-6),
+                                    leaf["q8:q"], leaf["q8:s"]))
+    out = np.asarray(q8_norm_matmul(x, leaf, nw, 1e-6, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_mlp_kernel_matches_reference(rng):
+    """Whole-MLP kernel (norm + gate/up + silu*mul + down) == step-by-step
+    reference, including the multi-phase scratch accumulation."""
+    from qwen3_asr_tpu.ops.q8_matmul import _rms_norm_f32, q8_mlp
+
+    H, F = 256, 384  # F forces TILE=F (single gate phase) — and 2 tiles below
+    for tile_F in (F, 1024):  # 1024 -> TILE=512, 2 gate/up phases
+        Fx = tile_F
+        x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32))
+        nw = jnp.asarray(rng.standard_normal((H,)).astype(np.float32))
+        w_gu = rng.standard_normal((H, 2 * Fx)).astype(np.float32) * 0.05
+        w_d = rng.standard_normal((Fx, H)).astype(np.float32) * 0.05
+        qgu, sgu = quantize_q8_weights(w_gu)
+        qd, sd = quantize_q8_weights(w_d)
+        gu_leaf = {"q8:q": jnp.asarray(qgu), "q8:s": jnp.asarray(sgu)}
+        d_leaf = {"q8:q": jnp.asarray(qd), "q8:s": jnp.asarray(sd)}
+
+        xn = _rms_norm_f32(x, nw, 1e-6)
+        gu = np.asarray(_q8_matmul_xla(xn, gu_leaf["q8:q"], gu_leaf["q8:s"]))
+        h = np.asarray(jax.nn.silu(gu[:, :Fx])) * gu[:, Fx:]
+        ref = np.asarray(_q8_matmul_xla(jnp.asarray(h, jnp.float32),
+                                        d_leaf["q8:q"], d_leaf["q8:s"]))
+
+        out = np.asarray(q8_mlp(x, gu_leaf, d_leaf, nw, 1e-6, Fx,
+                                interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+
+
 def test_matmul_any_dispatch(rng):
     x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
     w = rng.standard_normal((64, 128)).astype(np.float32) * 0.05
