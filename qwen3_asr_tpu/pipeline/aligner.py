@@ -152,7 +152,9 @@ class ForcedAligner:
                 result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
                 return result
         else:
-            samples = np.asarray(audio, dtype=np.float32)
+            samples = np.asarray(audio)
+            if samples.dtype != np.int16:  # int16 PCM scales on device
+                samples = samples.astype(np.float32)
 
         t_total = time.perf_counter()
         audio_duration = len(samples) / SAMPLE_RATE

@@ -144,7 +144,9 @@ class Qwen3ASR:
                 result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
                 return result
         else:
-            samples = np.asarray(audio, dtype=np.float32)
+            samples = np.asarray(audio)
+            if samples.dtype != np.int16:  # int16 PCM scales on device
+                samples = samples.astype(np.float32)
 
         return self._transcribe_samples(samples, params, result)
 
@@ -300,7 +302,9 @@ class Qwen3ASR:
                     feats_list.append(None)
                     continue
             else:
-                samples = np.asarray(audio, dtype=np.float32)
+                samples = np.asarray(audio)
+            if samples.dtype != np.int16:  # int16 PCM scales on device
+                samples = samples.astype(np.float32)
             if params.mel_bucket > 0:
                 from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded
                 from qwen3_asr_tpu.models.encoder import encode_audio_padded

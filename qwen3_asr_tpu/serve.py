@@ -84,6 +84,20 @@ class ASRServer:
     def transcribe(self, samples: np.ndarray):
         return self.submit(samples).result()
 
+    def warmup(self, seconds: tuple = (5, 15, 30)) -> None:
+        """Precompile the shape buckets before taking traffic: with
+        mel_bucket set, each representative length compiles the one
+        mel/encoder/decode program its whole bucket reuses (XLA compiles
+        are the serving cold-start cost; results go to the persistent
+        compile cache)."""
+        t0 = time.perf_counter()
+        futs = [self.submit(np.zeros(int(s * 16000), dtype=np.int16))
+                for s in seconds]
+        for f in futs:
+            f.result()
+        print(f"warmup: {len(futs)} buckets in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
     def close(self):
         self._stop.set()
         self._queue.put(None)  # wake the worker
@@ -210,6 +224,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-tokens", type=int, default=1024)
     p.add_argument("--quantize", action="store_true",
                    help="int8 decode path (Pallas dequant matmul)")
+    p.add_argument("--warmup", default="",
+                   help="comma-separated audio lengths (s) to precompile, "
+                        "e.g. 5,15,30")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -225,6 +242,8 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
     )
+    if args.warmup:
+        server.warmup(tuple(float(s) for s in args.warmup.split(",")))
     httpd = serve_http(server, args.host, args.port)
     try:
         httpd.serve_forever()

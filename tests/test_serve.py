@@ -48,6 +48,34 @@ def test_server_batches_match_single(rng):
         server.close()
 
 
+def test_int16_array_input_matches_float(rng):
+    """The serving path hands raw int16 PCM arrays to transcribe(); they
+    must be scaled like the float path (regression: int16 was cast to
+    float32 WITHOUT /32768)."""
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32)
+    f32 = _tone(440, 1.0)
+    pcm = (f32 * 32768.0).clip(-32768, 32767).astype(np.int16)
+    a = asr.transcribe(f32, params)
+    b = asr.transcribe(pcm, params)
+    assert b.tokens == a.tokens
+
+
+def test_server_warmup(rng):
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0)
+    try:
+        server.warmup((0.5, 1.5))
+        # a request inside a warmed bucket reuses the compiled programs
+        r = server.transcribe(_tone(440, 1.2))
+        assert r.success
+    finally:
+        server.close()
+
+
 def test_http_transcribe_and_health(rng):
     from qwen3_asr_tpu.audio.wav import write_wav
     import tempfile, os
