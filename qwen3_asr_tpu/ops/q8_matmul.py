@@ -56,28 +56,52 @@ def _q8_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
-def _q8_kernel(x_ref, q_ref, s_ref, o_ref):
-    # x: [T, in] f32; q: [in, TILE] int8; s: [in//32, TILE] f32; o: [T, TILE]
-    #
-    # Dequantize in VMEM (int8 -> f32 multiply by the block scale broadcast
-    # over the 32 rows of each block) and run ONE 2-D dot. HBM traffic stays
-    # int8 — the f32 copy lives only on-chip. (A batched per-block
-    # dot_general formulation fails Mosaic lowering: batch dims are
-    # unsupported in TPU Pallas dots.)
-    q = q_ref[:].astype(jnp.float32)
-    s = s_ref[:]                                          # [n_blocks, tile]
+def _deq(q_ref, s_ref, dtype):
+    """Dequantize a VMEM int8 tile: broadcast each 32-row block's scale."""
+    q = q_ref[:].astype(dtype)
     n_in, tile = q.shape
-    n_blocks = n_in // Q8_BLOCK
     s_rows = jnp.broadcast_to(
-        s[:, None, :], (n_blocks, Q8_BLOCK, tile)
+        s_ref[:].astype(dtype)[:, None, :], (n_in // Q8_BLOCK, Q8_BLOCK, tile)
     ).reshape(n_in, tile)
-    # full-f32 MXU passes: the op is HBM-bound on the int8 stream, so the
-    # extra compute of HIGHEST precision is free and keeps decode GEMVs
-    # within quantization error of the reference
+    return q * s_rows
+
+
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref, *, deq_dtype=jnp.float32):
+    # x: [T, in]; q: [in, TILE] int8; s: [in//32, TILE] f32; o: [T, TILE]
+    #
+    # Dequantize in VMEM (int8 -> float multiply by the block scale
+    # broadcast over the 32 rows of each block) and run ONE 2-D dot. HBM
+    # traffic stays int8 — the float copy lives only on-chip. (A batched
+    # per-block dot_general formulation fails Mosaic lowering: batch dims
+    # are unsupported in TPU Pallas dots.)
+    #
+    # deq_dtype=f32 with HIGHEST precision: exact vs the dequantized
+    # reference — the per-layer GEMVs are HBM-bound, the extra MXU passes
+    # are free. deq_dtype=bf16 (wide outputs, e.g. the 152k lm head): halves
+    # the VMEM copy so tiles can be 4x larger, cutting the grid-step count;
+    # weight rounding ~0.4%, well under the 0.8% Q8 quantization error.
+    w = _deq(q_ref, s_ref, deq_dtype)
+    precision = (jax.lax.Precision.HIGHEST if deq_dtype == jnp.float32
+                 else None)
     o_ref[:] = jnp.dot(
-        x_ref[:], q * s_rows, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        x_ref[:].astype(deq_dtype), w,
+        preferred_element_type=jnp.float32, precision=precision,
     )
+
+
+def _tile_for(n_out: int) -> tuple:
+    """(TILE, dequant dtype) by output width. Wide outputs take big bf16
+    tiles — at TILE=512/f32 the 152k-wide lm head needs ~300 sequential
+    grid steps whose fixed cost dwarfs the int8 stream (measured: 470 GB/s
+    effective at TILE=4096/bf16 vs ~283 GB/s at 512/f32). bf16 dequant adds
+    ~0.4% weight rounding on top of the 0.8% Q8_0 quantization error.
+    Narrow outputs keep f32 dequant + HIGHEST precision: exact vs the
+    dequantized reference."""
+    if n_out >= 16384:
+        return 4096, jnp.bfloat16
+    if n_out >= 2048:
+        return 2048, jnp.bfloat16
+    return min(512, n_out), jnp.float32
 
 
 # Above this row count the Pallas kernel's [T, in] + [T, TILE] VMEM blocks
@@ -98,7 +122,7 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
     if T > _MAX_KERNEL_ROWS and not interpret:
         return _q8_matmul_xla(x, q, s)
 
-    TILE = min(512, n_out)
+    TILE, deq_dtype = _tile_for(n_out)
     if n_out % TILE != 0:
         # pad the out dim (e.g. the 151936-wide lm head) with zero columns
         pad = -(-n_out // TILE) * TILE - n_out
@@ -107,7 +131,7 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
         return q8_matmul(x, qp, sp, interpret=interpret)[:, :n_out]
     grid = (n_out // TILE,)
     return pl.pallas_call(
-        _q8_kernel,
+        functools.partial(_q8_kernel, deq_dtype=deq_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, n_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -125,7 +149,7 @@ def q8_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
             + T * n_in * 4 + T * n_out * 4,
             transcendentals=0,
         ),
-    )(x.astype(jnp.float32), q, s)
+    )(x, q, s)
 
 
 # ---------------------------------------------------------------------------
@@ -146,15 +170,15 @@ def _rms_norm_f32(x, nw, eps):
     return y * nw.astype(jnp.float32)
 
 
-def _q8_norm_kernel(x_ref, nw_ref, q_ref, s_ref, o_ref, *, eps):
-    xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps)
-    q = q_ref[:].astype(jnp.float32)
-    n_in, tile = q.shape
-    s_rows = jnp.broadcast_to(
-        s_ref[:][:, None, :], (n_in // Q8_BLOCK, Q8_BLOCK, tile)
-    ).reshape(n_in, tile)
-    o_ref[:] = jnp.dot(xn, q * s_rows, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+def _q8_norm_kernel(x_ref, nw_ref, q_ref, s_ref, o_ref, *,
+                    eps, deq_dtype=jnp.float32):
+    xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps)  # norm always in f32
+    w = _deq(q_ref, s_ref, deq_dtype)
+    precision = (jax.lax.Precision.HIGHEST if deq_dtype == jnp.float32
+                 else None)
+    o_ref[:] = jnp.dot(xn.astype(deq_dtype), w,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -172,7 +196,7 @@ def q8_norm_matmul(x: jax.Array, leaf: dict, norm_w: jax.Array, eps: float,
         xn = _rms_norm_f32(x, norm_w, eps)
         return _q8_matmul_xla(xn, q, s)
 
-    TILE = min(512, n_out)
+    TILE, deq_dtype = _tile_for(n_out)
     if n_out % TILE != 0:
         pad = -(-n_out // TILE) * TILE - n_out
         leaf_p = {"q8:q": jnp.pad(q, ((0, 0), (0, pad))),
@@ -181,7 +205,7 @@ def q8_norm_matmul(x: jax.Array, leaf: dict, norm_w: jax.Array, eps: float,
                               interpret=interpret)[:, :n_out]
     grid = (n_out // TILE,)
     return pl.pallas_call(
-        functools.partial(_q8_norm_kernel, eps=eps),
+        functools.partial(_q8_norm_kernel, eps=eps, deq_dtype=deq_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, n_in), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -54,6 +54,11 @@ def _dec_layer_specs() -> dict:
         "w_gate": P(None, None, "tp"),
         "w_up": P(None, None, "tp"),
         "w_down": P(None, "tp", None),
+        # fused single-chip leaves (fuse_decoder_params): tp-sharding their
+        # out dim would cut Q from K/V mid-matrix, so they replicate. For
+        # tp > 1, shard the UNFUSED tree (fusion is the single-chip layout).
+        "wqkv": P(),
+        "w_gate_up": P(),
     }
 
 
@@ -93,6 +98,9 @@ def _shard(params: dict, specs: dict, mesh: Mesh) -> dict:
     def place(path, leaf):
         spec = specs
         for k in path:
+            if not isinstance(spec, dict):
+                break  # quantized leaf {q8:q, q8:s}: both take the
+                       # weight's spec (same [L, in, out] axis order)
             spec = spec[k.key]
         if leaf is None:
             return None

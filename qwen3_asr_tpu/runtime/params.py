@@ -312,7 +312,7 @@ def quantize_decoder_params(dec_params: dict) -> dict:
 
         out["lm_head_q8"] = quant_leaf(
             np.asarray(dec_params["token_embd"], np.float32).T,  # [hidden, vocab]
-            pad_out_to=512,
+            pad_out_to=4096,  # the wide-output kernel tile (q8_matmul._tile_for)
         )
     return out
 
