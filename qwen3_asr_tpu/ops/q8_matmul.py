@@ -223,39 +223,33 @@ def q8_norm_matmul(x: jax.Array, leaf: dict, norm_w: jax.Array, eps: float,
 
 def _q8_mlp_kernel(x_ref, nw_ref, qg_ref, sg_ref, qu_ref, su_ref,
                    qd_ref, sd_ref, o_ref, ffn_ref, *, eps, n_gu):
-    """Whole SwiGLU MLP: phases 0..n_gu-1 fill the ffn scratch tile by
-    tile (silu(x@Wg) * (x@Wu)); phase n_gu runs scratch @ W_down."""
+    """Whole SwiGLU MLP: phases 0..n_gu-1 fill the ffn scratch tile by tile
+    (silu(x@Wg) * (x@Wu)); phase n_gu contracts the scratch with W_down.
+
+    bf16 dequant throughout: halves the in-VMEM weight copies so gate/up
+    tiles can be 1024 wide and the resident W_down copy fits. Rounding
+    ~0.4% on top of the 0.8% Q8_0 error. (A streamed-W_down variant that
+    accumulates per phase measured slightly SLOWER — the kernel is bounded
+    by the int8->bf16 dequant VPU work, not DMA.)
+    """
     j = pl.program_id(0)
 
     @pl.when(j < n_gu)
     def _gate_up():
-        xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps)
-        n_in, tile = qg_ref.shape
-        blocks = n_in // Q8_BLOCK
-
-        def deq(q_r, s_r):
-            sr = jnp.broadcast_to(
-                s_r[:][:, None, :], (blocks, Q8_BLOCK, tile)
-            ).reshape(n_in, tile)
-            return q_r[:].astype(jnp.float32) * sr
-
-        g = jnp.dot(xn, deq(qg_ref, sg_ref),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        u = jnp.dot(xn, deq(qu_ref, su_ref),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        ffn_ref[:, pl.ds(j * tile, tile)] = jax.nn.silu(g) * u
+        xn = _rms_norm_f32(x_ref[:], nw_ref[:], eps).astype(jnp.bfloat16)
+        tile = qg_ref.shape[1]
+        g = jnp.dot(xn, _deq(qg_ref, sg_ref, jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        u = jnp.dot(xn, _deq(qu_ref, su_ref, jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        ffn_ref[:, pl.ds(j * tile, tile)] = (
+            jax.nn.silu(g) * u).astype(jnp.bfloat16)
 
     @pl.when(j == n_gu)
     def _down():
-        n_ffn, n_out = qd_ref.shape
-        sr = jnp.broadcast_to(
-            sd_ref[:][:, None, :], (n_ffn // Q8_BLOCK, Q8_BLOCK, n_out)
-        ).reshape(n_ffn, n_out)
-        w = qd_ref[:].astype(jnp.float32) * sr
-        o_ref[:] = jnp.dot(ffn_ref[:], w, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        w = _deq(qd_ref, sd_ref, jnp.bfloat16)
+        o_ref[:] = jnp.dot(ffn_ref[:], w,
+                           preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "n_ffn", "interpret"))
@@ -279,7 +273,7 @@ def q8_mlp(x: jax.Array, gu_leaf: dict, down_leaf: dict, norm_w: jax.Array,
         h = jax.nn.silu(gu[:, :n_ffn]) * gu[:, n_ffn:]
         return _q8_matmul_xla(h, qd, sd)
 
-    TILE = min(512, n_ffn)
+    TILE = min(1024, n_ffn)
     assert n_ffn % TILE == 0, (n_ffn, TILE)
     n_gu = n_ffn // TILE
     last = n_gu - 1
@@ -306,7 +300,7 @@ def q8_mlp(x: jax.Array, gu_leaf: dict, down_leaf: dict, norm_w: jax.Array,
         out_specs=pl.BlockSpec((T, n_out), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, n_ffn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((T, n_ffn), jnp.bfloat16)],
         interpret=interpret,
     )(x, norm_w.reshape(1, -1), qgu, sgu, qgu, sgu, qd, sd)
 

@@ -78,15 +78,26 @@ def test_mlp_kernel_matches_reference(rng):
         gu_leaf = {"q8:q": jnp.asarray(qgu), "q8:s": jnp.asarray(sgu)}
         d_leaf = {"q8:q": jnp.asarray(qd), "q8:s": jnp.asarray(sd)}
 
-        xn = _rms_norm_f32(x, nw, 1e-6)
-        gu = np.asarray(_q8_matmul_xla(xn, gu_leaf["q8:q"], gu_leaf["q8:s"]))
-        h = np.asarray(jax.nn.silu(gu[:, :Fx])) * gu[:, Fx:]
-        ref = np.asarray(_q8_matmul_xla(jnp.asarray(h, jnp.float32),
-                                        d_leaf["q8:q"], d_leaf["q8:s"]))
+        # the kernel dequantizes the MLP weights to bf16 (see q8_mlp):
+        # mirror that math in the reference
+        from qwen3_asr_tpu.ops.q8_matmul import dequantize_q8_weights
+
+        def deq16(leaf):
+            return dequantize_q8_weights(
+                leaf["q8:q"], leaf["q8:s"]).astype(jnp.bfloat16)
+
+        xn = _rms_norm_f32(x, nw, 1e-6).astype(jnp.bfloat16)
+        gu = np.asarray(jnp.dot(xn, deq16(gu_leaf),
+                                preferred_element_type=jnp.float32))
+        h = (np.asarray(jax.nn.silu(gu[:, :Fx])) * gu[:, Fx:]).astype(
+            jnp.bfloat16)
+        ref = np.asarray(jnp.dot(jnp.asarray(h), deq16(d_leaf),
+                                 preferred_element_type=jnp.float32))
 
         out = np.asarray(q8_mlp(x, gu_leaf, d_leaf, nw, 1e-6, Fx,
                                 interpret=True))
-        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+        denom = max(1e-6, float(np.abs(ref).max()))
+        assert np.abs(out - ref).max() / denom < 2e-2
 
 
 def test_matmul_any_dispatch(rng):
