@@ -191,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
         _eprint("qwen3-asr-cli (Forced Alignment Mode)")
         _eprint(f"  Model: {args.model}")
         _eprint(f"  Audio: {args.audio}")
-        _eprint(f"  Text: {args.align_text}\n")
+        _eprint(f"  Text: {args.align_text}")
+        if args.language:
+            _eprint(f"  Language: {args.language}")
+        _eprint("")
 
         aligner = ForcedAligner(dtype=dtype)
         if not aligner.load_model(args.model):
@@ -226,7 +229,8 @@ def main(argv: list[str] | None = None) -> int:
     # default: transcription
     _eprint("qwen3-asr-cli")
     _eprint(f"  Model: {args.model}")
-    _eprint(f"  Audio: {args.audio}\n")
+    _eprint(f"  Audio: {args.audio}")
+    _eprint(f"  Threads: {args.threads}\n")
 
     asr = Qwen3ASR(dtype=dtype)
     if not asr.load_model(args.model):

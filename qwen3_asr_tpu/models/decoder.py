@@ -157,11 +157,12 @@ def decoder_forward(
     offset = jnp.asarray(cache_offset, jnp.int32)
     valid = jnp.asarray(kv_valid_len, jnp.int32)
 
-    use_flash = False
-    if prefill:
-        from qwen3_asr_tpu.ops.support import has_pallas_tpu
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
-        use_flash = T > 1 and has_pallas_tpu()
+    use_flash = prefill and T > 1 and has_pallas_tpu()
+    # fused decode-attention kernel: single-token steps with the fused
+    # weight layout collapse qk-norm/rope/cached-attention into one kernel
+    use_dak = (not prefill) and T == 1 and has_pallas_tpu()
 
     if not use_flash:
         cols_s = jnp.arange(S)
@@ -184,6 +185,26 @@ def decoder_forward(
         return _cached_attention(q, k_cache_l, v_cache_l, k, v,
                                  cache_mask, block_mask, scale)
 
+    def _mlp(lp, h1):
+        if ("w_gate_up" in lp and is_quant_leaf(lp["w_gate_up"])
+                and is_quant_leaf(lp["w_down"])):
+            # whole SwiGLU MLP in one int8 kernel (norm + both matmuls +
+            # silu*mul) — 60% of the decode step's weight bytes
+            return h1 + q8_mlp(
+                h1, lp["w_gate_up"], lp["w_down"], lp["ffn_norm"],
+                cfg.rms_norm_eps, cfg.intermediate_size,
+            ).astype(h1.dtype)
+        x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
+        if "w_gate_up" in lp:
+            gu = matmul_any(x, lp["w_gate_up"])
+            ffn = gu.shape[-1] // 2
+            x = matmul_any(jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:],
+                           lp["w_down"])
+        else:
+            gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
+            x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
+        return h1 + x
+
     def body(carry, xs):
         x_in = carry
         if prefill:
@@ -204,6 +225,20 @@ def decoder_forward(
             else:
                 x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
                 qkv = matmul_any(x, lp["wqkv"])
+            if use_dak:
+                from qwen3_asr_tpu.ops.decode_attention import decode_attention
+
+                attn_flat, k_cd, v_cd = decode_attention(
+                    qkv, k_cache_l, v_cache_l, lp["q_norm"], lp["k_norm"],
+                    offset, positions[0],
+                    n_heads=cfg.n_heads, n_kv=cfg.n_kv_heads,
+                    head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
+                    theta=cfg.rope_theta, scale=scale,
+                )
+                x = matmul_any(attn_flat.astype(x_in.dtype), lp["wo"])
+                h1 = x_in + x
+                return _mlp(lp, h1), (k_cd.astype(cache_dtype),
+                                      v_cd.astype(cache_dtype))
             q = qkv[:, :dq].reshape(T, cfg.n_heads, cfg.head_dim)
             k = qkv[:, dq : dq + dkv].reshape(T, cfg.n_kv_heads, cfg.head_dim)
             v = qkv[:, dq + dkv :].reshape(T, cfg.n_kv_heads, cfg.head_dim)
@@ -221,26 +256,7 @@ def decoder_forward(
         attn = attend(q, k, v, k_cache_l, v_cache_l)
         x = matmul_any(attn.reshape(T, cfg.n_heads * cfg.head_dim), lp["wo"])
         h1 = x_in + x
-
-        if ("w_gate_up" in lp and is_quant_leaf(lp["w_gate_up"])
-                and is_quant_leaf(lp["w_down"])):
-            # whole SwiGLU MLP in one int8 kernel (norm + both matmuls +
-            # silu*mul) — 60% of the decode step's weight bytes
-            x = q8_mlp(
-                h1, lp["w_gate_up"], lp["w_down"], lp["ffn_norm"],
-                cfg.rms_norm_eps, cfg.intermediate_size,
-            ).astype(h1.dtype)
-        else:
-            x = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
-            if "w_gate_up" in lp:
-                gu = matmul_any(x, lp["w_gate_up"])
-                ffn = gu.shape[-1] // 2
-                x = matmul_any(jax.nn.silu(gu[:, :ffn]) * gu[:, ffn:],
-                               lp["w_down"])
-            else:
-                gate = jax.nn.silu(matmul_any(x, lp["w_gate"]))
-                x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
-        return h1 + x, (k.astype(cache_dtype), v.astype(cache_dtype))
+        return _mlp(lp, h1), (k.astype(cache_dtype), v.astype(cache_dtype))
 
     xs = dec_params["layers"] if prefill else (
         dec_params["layers"], kv_cache["k"], kv_cache["v"]
