@@ -41,7 +41,11 @@ def main():
     n_decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "323"))
     gguf = os.environ.get("QWEN3_ASR_GGUF", "")
 
-    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    # BENCH_QUANT: 0 = dense bf16, 1 = Q8_0 (Pallas dequant kernels),
+    # 2 = per-channel W8A8 (int8 MXU via XLA)
+    quant = {"0": "", "1": "q8_0", "2": "int8pc"}[
+        os.environ.get("BENCH_QUANT", "0")
+    ]
     if gguf:
         cfg, params, _, _ = load_asr_model(gguf, jnp.bfloat16)
     else:
@@ -50,7 +54,7 @@ def main():
     if quant:
         from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
-        params["decoder"] = quantize_decoder_params(params["decoder"])
+        params["decoder"] = quantize_decoder_params(params["decoder"], quant)
     from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
     params["decoder"] = fuse_decoder_params(params["decoder"])
@@ -147,7 +151,7 @@ def main():
             "vs_baseline_tok_s": round(tok_s / 77.0, 2),
             "device": str(jax.devices()[0]),
             "weights": ("gguf" if gguf else "synthetic-bf16")
-            + ("+q8_0" if quant else ""),
+            + (f"+{quant}" if quant else ""),
             "scan_unroll": unroll,
         },
     }

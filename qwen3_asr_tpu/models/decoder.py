@@ -285,6 +285,9 @@ def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Ar
             dec_params["output_norm"], cfg.rms_norm_eps,
         )[0, : cfg.vocab_size]
     x = rms_norm(h_last, dec_params["output_norm"], cfg.rms_norm_eps)
+    if "lm_head_pc" in dec_params:
+        return matmul_any(x[None].astype(jnp.float32),
+                          dec_params["lm_head_pc"])[0]
     return jnp.dot(
         x, dec_params["token_embd"].T, preferred_element_type=jnp.float32
     )

@@ -306,6 +306,52 @@ def q8_mlp(x: jax.Array, gu_leaf: dict, down_leaf: dict, norm_w: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# per-channel W8A8 (int8 MXU path, pure XLA)
+#
+# The Pallas dequant kernels stream int8 but pay a fixed launch cost per
+# call and their int8->float dequant runs on the VPU. This mode instead
+# rides XLA end-to-end: per-OUTPUT-CHANNEL int8 weights (one f32 scale per
+# column) + dynamic per-row int8 activation quantization, contracted as a
+# native int8 x int8 -> int32 MXU dot and rescaled by (sx * s[o]) — every
+# op fuses into the surrounding graph, so the decode loop keeps XLA's
+# cross-op weight prefetching at HALF the HBM bytes. Quantization scheme
+# differs from GGUF Q8_0 (per-column vs per-32-row-block): ~equal weight
+# rmse, plus ~0.4% activation quantization — greedy-argmax parity is the
+# accuracy contract (tests/test_quant.py).
+# ---------------------------------------------------------------------------
+
+
+def quantize_pc_weights(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """float [in, out] -> (int8 [in, out], f32 scale [out])."""
+    w = np.asarray(w, dtype=np.float32)
+    amax = np.abs(w).max(axis=0)
+    s = (amax / 127.0).astype(np.float32)
+    inv = np.where(s > 0, 1.0 / np.where(s == 0, 1.0, s), 0.0)
+    q = np.clip(np.round(w * inv[None, :]), -127, 127).astype(np.int8)
+    return q, s
+
+
+def pc_leaf(w: np.ndarray) -> dict:
+    q, s = quantize_pc_weights(w)
+    return {"i8pc:q": jnp.asarray(q), "i8pc:s": jnp.asarray(s)}
+
+
+def is_pc_leaf(w) -> bool:
+    return isinstance(w, dict) and "i8pc:q" in w
+
+
+def pc_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """x [T, in] float x int8 W (per-channel scales [out]) -> [T, out] f32."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0      # [T, 1]
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sx * s[None, :])
+
+
+# ---------------------------------------------------------------------------
 # pytree leaf for quantized weights
 # ---------------------------------------------------------------------------
 
@@ -334,7 +380,9 @@ def is_quant_leaf(w) -> bool:
 
 
 def matmul_any(x: jax.Array, w) -> jax.Array:
-    """x @ w for either a dense array or a quantized leaf."""
+    """x @ w for a dense array, a Q8_0 leaf, or a per-channel int8 leaf."""
     if is_quant_leaf(w):
         return q8_matmul(x, w["q8:q"], w["q8:s"]).astype(x.dtype)
+    if is_pc_leaf(w):
+        return pc_matmul(x, w["i8pc:q"], w["i8pc:s"]).astype(x.dtype)
     return x @ w

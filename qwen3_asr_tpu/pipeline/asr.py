@@ -64,12 +64,13 @@ class TranscribeResult:
 class Qwen3ASR:
     """End-to-end speech-to-text (model: Qwen3-ASR-0.6B GGUF)."""
 
-    def __init__(self, dtype=jnp.bfloat16, quantize: bool = False):
+    def __init__(self, dtype=jnp.bfloat16, quantize=False):
         self.dtype = dtype
-        # quantize=True: decoder matmul weights as int8 + per-block scales,
-        # executed by the Pallas dequant-matmul kernel (halves the HBM
-        # traffic that bounds decode speed) — BASELINE.json config 4.
-        self.quantize = quantize
+        # quantize: False (dense), True/"q8_0" (GGUF Q8_0 semantics, Pallas
+        # dequant kernels — BASELINE.json config 4), or "int8pc"
+        # (per-channel W8A8 on the int8 MXU path). Both halve the HBM
+        # weight traffic that bounds decode speed.
+        self.quantize = "q8_0" if quantize is True else quantize
         self.cfg: ASRModelConfig | None = None
         self.params = None
         self.tokenizer: BPETokenizer | None = None
@@ -90,7 +91,7 @@ class Qwen3ASR:
                 from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
                 self.params["decoder"] = quantize_decoder_params(
-                    self.params["decoder"]
+                    self.params["decoder"], self.quantize
                 )
             from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
@@ -114,7 +115,9 @@ class Qwen3ASR:
         if self.quantize:
             from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
-            self.params["decoder"] = quantize_decoder_params(self.params["decoder"])
+            self.params["decoder"] = quantize_decoder_params(
+                self.params["decoder"], self.quantize
+            )
         from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
         self.params["decoder"] = fuse_decoder_params(self.params["decoder"])

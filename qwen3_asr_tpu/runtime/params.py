@@ -279,17 +279,28 @@ def load_aligner_model(path: str, dtype=jnp.bfloat16):
 _DEC_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_decoder_params(dec_params: dict) -> dict:
-    """Quantize the decoder's per-layer matmul weights to int8 leaves for
-    the Pallas dequant-matmul path (ops/q8_matmul.py). Embedding/norms stay
-    dense — same policy as the reference converter's Q8_0 mode
-    (convert_hf_to_gguf.py:231-252).
+def quantize_decoder_params(dec_params: dict, mode: str = "q8_0") -> dict:
+    """Quantize the decoder's per-layer matmul weights to int8 leaves.
+    Embedding/norms stay dense — same policy as the reference converter's
+    Q8_0 mode (convert_hf_to_gguf.cpp:231-252).
+
+    mode="q8_0": GGUF Q8_0 semantics (per-32-input-block scales), executed
+    by the Pallas dequant kernels (ops/q8_matmul.py). mode="int8pc":
+    per-output-channel scales + dynamic int8 activations, executed as
+    native int8 MXU dots by XLA (pc_matmul) — keeps XLA's cross-op weight
+    prefetching at half the HBM bytes.
 
     Stacked [L, in, out] weights quantize per layer and restack. The tied
-    lm head additionally gets an int8 copy (`lm_head_q8`) — it is read in
-    full every decode step while the embedding gather stays on the dense
-    table."""
-    from qwen3_asr_tpu.ops.q8_matmul import quantize_q8_weights
+    lm head additionally gets an int8 copy — it is read in full every
+    decode step while the embedding gather stays on the dense table."""
+    from qwen3_asr_tpu.ops.q8_matmul import (
+        quantize_pc_weights,
+        quantize_q8_weights,
+    )
+
+    assert mode in ("q8_0", "int8pc"), mode
+    per_layer = quantize_q8_weights if mode == "q8_0" else quantize_pc_weights
+    qk, sk = (("q8:q", "q8:s") if mode == "q8_0" else ("i8pc:q", "i8pc:s"))
 
     out = dict(dec_params)
     layers = dict(dec_params["layers"])
@@ -299,21 +310,24 @@ def quantize_decoder_params(dec_params: dict) -> dict:
         w = np.asarray(layers[key], dtype=np.float32)   # [L, in, out]
         qs, ss = [], []
         for l in range(w.shape[0]):
-            q, s = quantize_q8_weights(w[l])
+            q, s = per_layer(w[l])
             qs.append(q)
             ss.append(s)
-        layers[key] = {
-            "q8:q": jnp.asarray(np.stack(qs)),
-            "q8:s": jnp.asarray(np.stack(ss)),
-        }
+        layers[key] = {qk: jnp.asarray(np.stack(qs)),
+                       sk: jnp.asarray(np.stack(ss))}
     out["layers"] = layers
-    if "lm_head_q8" not in out:
+    head = np.asarray(dec_params["token_embd"], np.float32).T  # [hidden, vocab]
+    if mode == "q8_0" and "lm_head_q8" not in out:
         from qwen3_asr_tpu.ops.q8_matmul import quant_leaf
 
         out["lm_head_q8"] = quant_leaf(
-            np.asarray(dec_params["token_embd"], np.float32).T,  # [hidden, vocab]
+            head,
             pad_out_to=4096,  # the wide-output kernel tile (q8_matmul._tile_for)
         )
+    elif mode == "int8pc" and "lm_head_pc" not in out:
+        from qwen3_asr_tpu.ops.q8_matmul import pc_leaf
+
+        out["lm_head_pc"] = pc_leaf(head)
     return out
 
 
@@ -337,10 +351,13 @@ def fuse_decoder_params(dec_params: dict) -> dict:
         vals = [layers[k] for k in keys]
         kinds = [isinstance(v, dict) for v in vals]
         if all(kinds):
-            return {
-                "q8:q": jnp.concatenate([v["q8:q"] for v in vals], axis=-1),
-                "q8:s": jnp.concatenate([v["q8:s"] for v in vals], axis=-1),
-            }
+            # quant leaves: q8 block scales run along the shared `in` dim and
+            # pc scales are per output column — both concat losslessly
+            leaf_keys = vals[0].keys()
+            if any(v.keys() != leaf_keys for v in vals):
+                return None
+            return {k: jnp.concatenate([v[k] for v in vals], axis=-1)
+                    for k in leaf_keys}
         if any(kinds):
             return None  # mixed quantized/dense: leave unfused
         return jnp.concatenate(vals, axis=-1)

@@ -135,6 +135,55 @@ def test_quantized_decoder_close_to_dense(rng):
     assert np.abs(quant_logits - dense_logits).max() / denom < 0.05
 
 
+def test_pc_matmul_close_to_dense(rng):
+    """Per-channel W8A8 (int8 MXU path): weight + activation quantization
+    error stays within the expected band."""
+    from qwen3_asr_tpu.ops.q8_matmul import pc_leaf
+
+    x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
+    w = rng.standard_normal((256, 512)).astype(np.float32) * 0.05
+    dense = np.asarray(matmul_any(x, jnp.asarray(w)))
+    quant = np.asarray(matmul_any(x, pc_leaf(w)))
+    denom = np.abs(dense).max()
+    assert np.abs(quant - dense).max() / denom < 0.03
+
+
+def test_int8pc_decoder_argmax_agreement(rng):
+    """int8pc-quantized decoder keeps greedy-argmax parity with dense
+    (the accuracy contract for the W8A8 serving mode)."""
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=7, dtype=jnp.float32)
+    dec = params["decoder"]
+    qdec = quantize_decoder_params(dec, "int8pc")
+    assert "lm_head_pc" in qdec
+
+    T = 10
+    tokens = rng.integers(0, 100, size=T).astype(np.int32)
+    h0 = embed_with_audio(dec, jnp.asarray(tokens), None, 0, 0)
+
+    def run(d):
+        cache = init_kv_cache(cfg.decoder, T, jnp.float32)
+        h, _ = decoder_forward(
+            d, cfg.decoder, h0, jnp.arange(T, dtype=jnp.int32), cache,
+            jnp.int32(0), jnp.int32(T),
+        )
+        return np.asarray(lm_logits(d, cfg.decoder, h[-1]))
+
+    dense_logits = run(dec)
+    quant_logits = run(qdec)
+    assert np.argmax(dense_logits) == np.argmax(quant_logits)
+    denom = np.abs(dense_logits).max()
+    assert np.abs(quant_logits - dense_logits).max() / denom < 0.08
+
+    # fusion concatenates pc leaves losslessly
+    from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+    fused = fuse_decoder_params(qdec)
+    assert "wqkv" in fused["layers"]
+    assert "i8pc:q" in fused["layers"]["wqkv"]
+    fused_logits = run(fused)
+    np.testing.assert_allclose(fused_logits, quant_logits, atol=1e-4)
+
+
 def test_native_q8_gguf_load(tmp_path, rng):
     """A Q8_0 GGUF loads its blocks directly as int8 leaves (no requant),
     and the pipeline produces the same tokens as dequantized-float load."""
