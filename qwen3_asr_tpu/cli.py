@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Forced aligner GGUF (required with --transcribe-align)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="On-device compute dtype")
+    p.add_argument("--quantize", default="", choices=["", "q8_0", "int8pc"],
+                   help="Requantize decoder weights on load (Q8_0 GGUF files "
+                        "run their own int8 blocks without this)")
     p.add_argument("--platform", default="",
                    help="Force a JAX platform (e.g. 'cpu', 'tpu'); default: auto")
     p.add_argument("--trace-dir", default="",
@@ -140,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         _eprint(f"  Aligner Model: {args.aligner_model}")
         _eprint(f"  Audio: {args.audio}\n")
 
-        asr = Qwen3ASR(dtype=dtype)
+        asr = Qwen3ASR(dtype=dtype, quantize=args.quantize)
         if not asr.load_model(args.model):
             _eprint(f"Error (ASR): {asr.error_msg}")
             return 1
@@ -232,7 +235,7 @@ def main(argv: list[str] | None = None) -> int:
     _eprint(f"  Audio: {args.audio}")
     _eprint(f"  Threads: {args.threads}\n")
 
-    asr = Qwen3ASR(dtype=dtype)
+    asr = Qwen3ASR(dtype=dtype, quantize=args.quantize)
     if not asr.load_model(args.model):
         _eprint(f"Error: {asr.error_msg}")
         return 1

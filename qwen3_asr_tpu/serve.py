@@ -222,8 +222,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-tokens", type=int, default=1024)
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 decode path (Pallas dequant matmul)")
+    p.add_argument("--quantize", default="", choices=["", "q8_0", "int8pc"],
+                   help="int8 decode path: q8_0 (Pallas dequant kernels) or "
+                        "int8pc (per-channel W8A8 on the int8 MXU)")
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
