@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark: combined transcribe + align on the reference workload shape
+(92 s audio; ASR decode forced to 323 tokens; 183 words aligned) —
+BASELINE.md: M2 Pro 18,005 ms.
+
+Prints ONE JSON line. Synthetic weights at real hparams for both models.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.config import AlignerModelConfig, ASRModelConfig
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+    from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+    from qwen3_asr_tpu.text.bpe import _byte_to_unicode
+
+    seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "92"))
+    n_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "323"))
+    n_words = int(os.environ.get("BENCH_WORDS", "183"))
+    quant = {"0": "", "1": "q8_0", "2": "int8pc"}[
+        os.environ.get("BENCH_QUANT", "2")
+    ]
+
+    table = _byte_to_unicode()
+
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=quant)
+    acfg = ASRModelConfig()
+    vocab = [table[b] for b in range(256)]
+    vocab += [f"[PAD{i}]" for i in range(256, acfg.decoder.vocab_size)]
+    asr.load_random(acfg, seed=0, vocab=vocab)
+    asr.cfg = dataclasses.replace(
+        asr.cfg, decoder=dataclasses.replace(asr.cfg.decoder, eos_token_id=-1)
+    )
+
+    fa = ForcedAligner(dtype=jnp.bfloat16)
+    fcfg = AlignerModelConfig()
+    fvocab = [table[b] for b in range(256)]
+    fvocab += [f"[PAD{i}]" for i in range(256, fcfg.decoder.vocab_size)]
+    fa.load_random(fcfg, seed=1, vocab=fvocab)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)
+             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    # with random weights the ASR transcript is garbage; align a fixed
+    # 183-word text instead — the reference's combined workload shape
+    text = " ".join(f"word{i:03d}" for i in range(n_words))
+    params = TranscribeParams(max_tokens=n_tokens, print_timing=False)
+
+    def run():
+        t0 = time.perf_counter()
+        asr_result = asr.transcribe(audio, params)
+        assert asr_result.success, asr_result.error_msg
+        align_result = fa.align(audio, text)
+        assert align_result.success, align_result.error_msg
+        assert len(align_result.words) == n_words
+        t1 = time.perf_counter()
+        return {
+            "total_ms": (t1 - t0) * 1e3,
+            "asr_ms": asr_result.t_total_ms,
+            "align_ms": align_result.t_total_ms,
+        }
+
+    print("bench_combined: compiling/warmup...", file=sys.stderr, flush=True)
+    run()
+    print("bench_combined: timing...", file=sys.stderr, flush=True)
+    best = min((run() for _ in range(3)), key=lambda r: r["total_ms"])
+
+    result = {
+        "metric": "combined_transcribe_align_ms_92s",
+        "value": round(best["total_ms"], 1),
+        "unit": "ms",
+        "vs_baseline": round(18005 / best["total_ms"], 2),  # M2 Pro
+        "detail": {
+            "asr_ms": round(best["asr_ms"], 1),
+            "align_ms": round(best["align_ms"], 1),
+            "decode_tokens": n_tokens,
+            "words": n_words,
+            "device": str(jax.devices()[0]),
+            "weights": "synthetic-bf16" + (f"+{quant}" if quant else ""),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

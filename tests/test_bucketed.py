@@ -60,6 +60,21 @@ def test_padded_encoder_matches_exact(rng, seconds):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_quantized_bucketed_pipeline_runs(rng):
+    """Serving combo: int8 modes x mel bucketing through the full pipeline
+    (q8_0 exercises the Pallas fallbacks on CPU; int8pc the XLA int8 dots)."""
+    for mode in ("q8_0", "int8pc"):
+        cfg = tiny_asr_config()
+        asr = Qwen3ASR(dtype=jnp.float32, quantize=mode)
+        asr.load_random(cfg, seed=11,
+                        vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+        out = asr.transcribe(_tone(1.1), TranscribeParams(
+            max_tokens=4, print_timing=False, prompt_bucket=32,
+            mel_bucket=200))
+        assert out.success, (mode, out.error_msg)
+        assert len(out.tokens) <= 4
+
+
 def test_bucketed_transcribe_matches_exact(rng):
     cfg = tiny_asr_config()
     asr = Qwen3ASR(dtype=jnp.float32)
