@@ -248,6 +248,47 @@ def log_mel_spectrogram(
     return np.asarray(out) if as_numpy else out
 
 
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_device_batch(padded_b, filters_t, n_frames: int, n_valid):
+    """Batched _mel_device: padded_b [B, (n_frames+2)*HOP], n_valid [B]."""
+    return jax.vmap(
+        lambda p, nv: _mel_device(p, filters_t, n_frames, nv)
+    )(padded_b, n_valid)
+
+
+def log_mel_spectrogram_padded_batch(
+    samples_list, filters: np.ndarray, bucket: int
+) -> tuple[jax.Array, list[int]]:
+    """Batched bucketed log-mel -> ([B, n_mels, F_b] on device, true frame
+    counts). F_b = the largest item's frame count rounded up to `bucket`;
+    ONE device dispatch for the whole batch (serving: same-bucket files
+    share the mel program instead of B sequential round trips)."""
+    prepped = []
+    for samples in samples_list:
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:
+            samples = samples.astype(np.float32)
+        prepped.append(samples)
+    n_frames = [num_mel_frames(len(s)) for s in prepped]
+    if min(n_frames) <= 0 or bucket <= 0:
+        raise ValueError(f"need n_frames > 0 and bucket > 0 "
+                         f"(got {n_frames}, {bucket})")
+    F_b = -(-max(n_frames) // bucket) * bucket
+    dt = (np.int16 if all(s.dtype == np.int16 for s in prepped)
+          else np.float32)
+    buf = np.zeros((len(prepped), (F_b + 2) * HOP_LENGTH), dtype=dt)
+    for b, (samples, nf) in enumerate(zip(prepped, n_frames)):
+        if samples.dtype == np.int16 and dt == np.float32:
+            samples = samples.astype(np.float32) / 32768.0  # mixed batch
+        padded = reflect_pad(samples.astype(dt))
+        need = (nf - 1) * HOP_LENGTH + N_FFT
+        n_copy = min(need, len(padded), buf.shape[1])
+        buf[b, :n_copy] = padded[:n_copy]
+    out = _mel_device_batch(jnp.asarray(buf), jnp.asarray(filters.T), F_b,
+                            jnp.asarray(np.asarray(n_frames, np.int32)))
+    return jnp.transpose(out, (0, 2, 1)), n_frames  # [B, n_mels, F_b]
+
+
 def log_mel_spectrogram_padded(
     samples: np.ndarray, filters: np.ndarray, bucket: int
 ) -> tuple[jax.Array, int]:

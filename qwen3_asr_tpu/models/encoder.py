@@ -189,9 +189,8 @@ def encode_audio(params: dict, cfg: AudioEncoderConfig, mel) -> jax.Array:
     return _encode_jit(params, cfg, mel, int(mel.shape[1]))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _encode_padded_jit(params, cfg: AudioEncoderConfig, mel_p,
-                       gap_pos, gap_size, n_valid):
+def _encode_padded_core(params, cfg: AudioEncoderConfig, mel_p,
+                        gap_pos, gap_size, n_valid):
     """Bucketed encoder: mel_p is [n_mel, F_b] with F_b a chunk multiple
     and frames past the true count zeroed (audio/mel.py
     ::log_mel_spectrogram_padded). One compiled program per F_b bucket.
@@ -237,6 +236,21 @@ def _encode_padded_jit(params, cfg: AudioEncoderConfig, mel_p,
     return h
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_padded_jit(params, cfg, mel_p, gap_pos, gap_size, n_valid):
+    return _encode_padded_core(params, cfg, mel_p, gap_pos, gap_size, n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_padded_batch_jit(params, cfg, mel_b, gap_pos, gap_size, n_valid):
+    """Batched bucketed encoder: mel_b [B, n_mel, F_b], per-item scalars.
+    ONE device dispatch for the whole batch (serving: B files of the same
+    length bucket encode together instead of B sequential round trips)."""
+    return jax.vmap(
+        lambda m, gp, gs, nv: _encode_padded_core(params, cfg, m, gp, gs, nv)
+    )(mel_b, gap_pos, gap_size, n_valid)
+
+
 def encode_audio_padded(
     params: dict, cfg: AudioEncoderConfig, mel_p, n_frames_true: int
 ) -> tuple[jax.Array, int]:
@@ -260,3 +274,29 @@ def encode_audio_padded(
         jnp.int32(gap_pos), jnp.int32(gap_size), jnp.int32(n_audio),
     )
     return feats, n_audio
+
+
+def _gap_params(cfg: AudioEncoderConfig, n_frames_true: int):
+    chunk = cfg.chunk_size
+    max_out = chunk_output_len(chunk)
+    k_full, tail = divmod(n_frames_true, chunk)
+    if tail:
+        t_out = chunk_output_len(tail)
+        return k_full * max_out + t_out, max_out - t_out, k_full * max_out + t_out
+    return k_full * max_out, 0, k_full * max_out
+
+
+def encode_audio_padded_batch(
+    params: dict, cfg: AudioEncoderConfig, mel_b, n_frames_list
+) -> tuple[jax.Array, list[int]]:
+    """Batched bucketed encode -> (padded feats [B, N_max, d], n_audio per
+    item). All items must share mel_b's F_b bucket."""
+    import numpy as np
+
+    gaps = [_gap_params(cfg, n) for n in n_frames_list]
+    gp = jnp.asarray(np.asarray([g[0] for g in gaps], np.int32))
+    gs = jnp.asarray(np.asarray([g[1] for g in gaps], np.int32))
+    nv = jnp.asarray(np.asarray([g[2] for g in gaps], np.int32))
+    feats = _encode_padded_batch_jit(params, cfg, jnp.asarray(mel_b),
+                                     gp, gs, nv)
+    return feats, [g[2] for g in gaps]

@@ -296,35 +296,55 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
-        feats_list = []
-        for audio, result in zip(audios, results):
+        samples_list: list = [None] * len(audios)
+        for i, (audio, result) in enumerate(zip(audios, results)):
             if isinstance(audio, str):
                 samples, sr = load_wav(audio, raw_int16=True)
                 if sr != SAMPLE_RATE:
                     result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
-                    feats_list.append(None)
                     continue
             else:
                 samples = np.asarray(audio)
-            if samples.dtype != np.int16:  # int16 PCM scales on device
-                samples = samples.astype(np.float32)
-            if params.mel_bucket > 0:
-                from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded
-                from qwen3_asr_tpu.models.encoder import encode_audio_padded
+                if samples.dtype != np.int16:  # int16 PCM scales on device
+                    samples = samples.astype(np.float32)
+            samples_list[i] = samples
 
-                chunk = self.cfg.encoder.chunk_size
-                bf = -(-params.mel_bucket // chunk) * chunk
-                mel, n_true = log_mel_spectrogram_padded(
-                    samples, self.mel_filters, bf
+        feats_list: list = [None] * len(audios)
+        if params.mel_bucket > 0:
+            # batched frontend: files grouped by frame bucket run mel +
+            # encoder as ONE dispatch per group (B sequential per-file
+            # round trips otherwise dominate batch latency)
+            from qwen3_asr_tpu.audio.mel import (
+                log_mel_spectrogram_padded_batch,
+                num_mel_frames,
+            )
+            from qwen3_asr_tpu.models.encoder import encode_audio_padded_batch
+
+            chunk = self.cfg.encoder.chunk_size
+            bf = -(-params.mel_bucket // chunk) * chunk
+            groups: dict[int, list[int]] = {}
+            for i, s in enumerate(samples_list):
+                if s is None:
+                    continue
+                F_b = -(-num_mel_frames(len(s)) // bf) * bf
+                groups.setdefault(F_b, []).append(i)
+            for idxs in groups.values():
+                mel_b, n_true = log_mel_spectrogram_padded_batch(
+                    [samples_list[i] for i in idxs], self.mel_filters, bf
                 )
-                feats_list.append(encode_audio_padded(
-                    self.params["encoder"], self.cfg.encoder, mel, n_true
-                ))
-            else:
+                feats_b, n_audio_l = encode_audio_padded_batch(
+                    self.params["encoder"], self.cfg.encoder, mel_b, n_true
+                )
+                for j, i in enumerate(idxs):
+                    feats_list[i] = (feats_b[j], n_audio_l[j])
+        else:
+            for i, samples in enumerate(samples_list):
+                if samples is None:
+                    continue
                 mel = log_mel_spectrogram(samples, self.mel_filters,
                                           as_numpy=False)
                 f = encode_audio(self.params["encoder"], self.cfg.encoder, mel)
-                feats_list.append((f, int(f.shape[0])))
+                feats_list[i] = (f, int(f.shape[0]))
 
         valid = [i for i, f in enumerate(feats_list) if f is not None]
         if not valid:
