@@ -135,9 +135,16 @@ class ASRServer:
                 if len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
                 else:
+                    # pad the batch to a power of two (repeat the last item)
+                    # so the vmapped decode compiles for log2(max_batch)
+                    # batch shapes instead of one per arrival count
+                    n = len(batch)
+                    target = 1 << (n - 1).bit_length()
+                    samples = [r.samples for r in batch]
+                    samples += [samples[-1]] * (target - n)
                     results = self.asr.transcribe_batch(
-                        [r.samples for r in batch], self.params
-                    )
+                        samples, self.params
+                    )[:n]
                 for req, res in zip(batch, results):
                     req.future.set_result(res)
             except Exception as e:  # noqa: BLE001 — propagate to all waiters
