@@ -122,8 +122,8 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
             )
             attn = mha_attention(q, k, v, mask, scale)
     else:
-        assert n_valid is None, "block-diagonal path is exact-shape only"
-        attn = block_diagonal_attention(q, k, v, window, scale)
+        attn = block_diagonal_attention(q, k, v, window, scale,
+                                        n_valid=n_valid)
     attn = attn.reshape(T, cfg.d_model)
     h = h + (attn @ layer["wo"] + layer["bo"])
 
@@ -221,10 +221,13 @@ def _encode_padded_core(params, cfg: AudioEncoderConfig, mel_p,
     idx = jnp.minimum(pos + jnp.where(pos >= gap_pos, gap_size, 0), N - 1)
     h = jnp.take(x, idx, axis=0)
 
-    assert cfg.n_window_infer is None, "bucketed path: ASR encoder only"
+    if cfg.n_window_infer is None:
+        window = None
+    else:
+        window = max_out * (cfg.n_window_infer // chunk)   # 104 for FA
 
     def body(carry, layer):
-        return _encoder_block(cfg, carry, layer, None, n_valid=n_valid), None
+        return _encoder_block(cfg, carry, layer, window, n_valid=n_valid), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
 

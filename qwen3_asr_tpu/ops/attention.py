@@ -63,6 +63,7 @@ def block_diagonal_attention(
     v: jax.Array,
     window: int,
     scale: float,
+    n_valid=None,   # dynamic scalar: keys at pos >= n_valid are padding
 ) -> jax.Array:
     """Block-diagonal windowed attention computed structurally.
 
@@ -71,7 +72,9 @@ def block_diagonal_attention(
     forced_aligner.cpp:742-766), so instead of masking an O(T^2) score
     matrix we pad T to a multiple of `window`, reshape to
     [n_windows, window, ...] and run attention batched over windows:
-    O(T * window) compute and memory. Tail padding rows are masked locally.
+    O(T * window) compute and memory. Tail padding rows are masked locally;
+    `n_valid` (bucketed path) masks right-padding inside the last real
+    window the same way.
     """
     T, n_heads, head_dim = q.shape
     n_win = -(-T // window)
@@ -85,11 +88,13 @@ def block_diagonal_attention(
     scores = jnp.einsum(
         "wthd,wshd->whts", qw, kw, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
-    if pad > 0:
-        # mask tail-window padding columns (rows are discarded anyway, but
-        # keep their softmax finite via their own diagonal)
+    if pad > 0 or n_valid is not None:
+        # mask padding columns (tail-window zero rows and, in the bucketed
+        # path, everything past the dynamic valid length); padding rows are
+        # discarded anyway, but keep their softmax finite via the diagonal
+        bound = jnp.int32(T) if n_valid is None else jnp.asarray(n_valid)
         pos = jnp.arange(n_win * window).reshape(n_win, window)
-        valid = pos < T                                  # [n_win, window]
+        valid = pos < bound                              # [n_win, window]
         scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
         eye = jnp.eye(window, dtype=bool)
         scores = jnp.where(eye[None, None, :, :], jnp.maximum(scores, -1e30), scores)

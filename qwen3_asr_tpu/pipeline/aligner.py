@@ -136,7 +136,12 @@ class ForcedAligner:
 
     # -- alignment -----------------------------------------------------------
 
-    def align(self, audio, text: str, language: str = "") -> AlignmentResult:
+    def align(self, audio, text: str, language: str = "",
+              mel_bucket: int = 0) -> AlignmentResult:
+        """`mel_bucket` > 0 (frames, rounded to the 100-frame chunk): pad
+        the mel/encoder shapes to a bucket so arbitrary audio lengths reuse
+        a bounded set of compiled programs (serving mode; same contract as
+        TranscribeParams.mel_bucket)."""
         result = AlignmentResult()
         if self.params is None:
             result.error_msg = "Model not loaded"
@@ -160,23 +165,45 @@ class ForcedAligner:
         audio_duration = len(samples) / SAMPLE_RATE
         dcfg = self.cfg.decoder
 
+        bucket = mel_bucket
+        if bucket > 0:
+            chunk = self.cfg.encoder.chunk_size
+            bucket = -(-bucket // chunk) * chunk
+
         t0 = time.perf_counter()
         with timer("fa.mel"):
-            mel = log_mel_spectrogram(samples, self.mel_filters, as_numpy=False)
+            if bucket:
+                from qwen3_asr_tpu.audio.mel import log_mel_spectrogram_padded
+
+                mel, n_frames_true = log_mel_spectrogram_padded(
+                    samples, self.mel_filters, bucket
+                )
+            else:
+                mel = log_mel_spectrogram(samples, self.mel_filters,
+                                          as_numpy=False)
+                n_frames_true = int(mel.shape[1])
         result.t_mel_ms = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
         with timer("fa.encode"):
-            audio_features = encode_audio(
-                self.params["encoder"], self.cfg.encoder, mel
-            )
+            if bucket:
+                from qwen3_asr_tpu.models.encoder import encode_audio_padded
+
+                audio_features, n_audio = encode_audio_padded(
+                    self.params["encoder"], self.cfg.encoder, mel,
+                    n_frames_true,
+                )
+            else:
+                audio_features = encode_audio(
+                    self.params["encoder"], self.cfg.encoder, mel
+                )
+                n_audio = int(audio_features.shape[0])
             audio_features.block_until_ready()
         result.t_encode_ms = (time.perf_counter() - t0) * 1000
-        n_audio = int(audio_features.shape[0])
 
-        # pad count via the HF formula — must equal the encoder output length
-        # (forced_aligner.cpp:1670)
-        n_pads = get_feat_extract_output_lengths(mel.shape[1])
+        # pad count via the HF formula on the TRUE mel length — must equal
+        # the encoder output length (forced_aligner.cpp:1670)
+        n_pads = get_feat_extract_output_lengths(n_frames_true)
 
         text_tokens, words = self.tokenize_with_timestamps(text, language)
         input_tokens = build_aligner_prompt(text_tokens, n_pads, dcfg)
@@ -184,16 +211,22 @@ class ForcedAligner:
 
         # bucket the prompt length so one compiled program serves a range
         # of transcript lengths (recompiles are expensive)
-        bucket = 128
+        pbucket = 128
         n_real = len(input_tokens)
-        P = -(-n_real // bucket) * bucket
+        P = -(-n_real // pbucket) * pbucket
         toks = np.full(P, dcfg.pad_token_id % dcfg.vocab_size, np.int32)
         toks[:n_real] = input_tokens
-        cap = P - (n_real - n_audio)
-        audio_padded = jnp.zeros((cap, dcfg.hidden_size), audio_features.dtype)
-        audio_padded = jax.lax.dynamic_update_slice(
-            audio_padded, audio_features, (0, 0)
-        )
+        if bucket:
+            # feats are already bucket-padded; the audio splice reads only
+            # the first n_audio rows
+            audio_padded = audio_features
+        else:
+            cap = P - (n_real - n_audio)
+            audio_padded = jnp.zeros((cap, dcfg.hidden_size),
+                                     audio_features.dtype)
+            audio_padded = jax.lax.dynamic_update_slice(
+                audio_padded, audio_features, (0, 0)
+            )
 
         t0 = time.perf_counter()
         with timer("fa.decode"):

@@ -60,6 +60,24 @@ def test_padded_encoder_matches_exact(rng, seconds):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_bucketed_align_matches_exact(rng):
+    """Bucketed FA path (block-diagonal windows + dynamic valid length)
+    reproduces the exact alignment word-for-word."""
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+    cfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(cfg, seed=23,
+                   vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    audio = _tone(1.23)
+    exact = fa.align(audio, "hello bucketed world")
+    bucketed = fa.align(audio, "hello bucketed world", mel_bucket=200)
+    assert bucketed.success, bucketed.error_msg
+    assert [(w.word, w.start, w.end) for w in bucketed.words] == \
+           [(w.word, w.start, w.end) for w in exact.words]
+
+
 def test_quantized_bucketed_pipeline_runs(rng):
     """Serving combo: int8 modes x mel bucketing through the full pipeline
     (q8_0 exercises the Pallas fallbacks on CPU; int8pc the XLA int8 dots)."""
