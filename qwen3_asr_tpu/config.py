@@ -97,6 +97,13 @@ class DecoderConfig:
     # stream with the current layer's compute. Must divide n_layers.
     scan_unroll: int = 1
 
+    # fused decode-attention Pallas kernel (ops/decode_attention.py) for
+    # single-token steps. Disabled for vmapped batch decoding: pallas under
+    # vmap becomes B sequential launches per layer, whose fixed cost undoes
+    # the batching win (parallel/mesh.py::batched_transcribe_step turns it
+    # off).
+    use_decode_attn_kernel: bool = True
+
     # forced-aligner head: when set, logits come from a `classify_num`-way
     # classification head over ALL positions instead of the tied lm head on
     # the last position (reference: forced_aligner.cpp:1073-1076).

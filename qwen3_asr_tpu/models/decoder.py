@@ -162,7 +162,8 @@ def decoder_forward(
     use_flash = prefill and T > 1 and has_pallas_tpu()
     # fused decode-attention kernel: single-token steps with the fused
     # weight layout collapse qk-norm/rope/cached-attention into one kernel
-    use_dak = (not prefill) and T == 1 and has_pallas_tpu()
+    use_dak = ((not prefill) and T == 1 and cfg.use_decode_attn_kernel
+               and has_pallas_tpu())
 
     if not use_flash:
         cols_s = jnp.arange(S)
