@@ -93,10 +93,12 @@ def _conv_frontend(params: dict, mel_chunks: jax.Array) -> jax.Array:
 
 
 def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
-                   n_valid=None):
+                   n_valid=None, allow_flash: bool = True):
     """One transformer block. `n_valid` (dynamic scalar, bucketed path):
     attention keys/values past it are right-padding and masked out (their
     rows still compute — garbage in, garbage out, discarded by the caller).
+    `allow_flash=False` keeps attention on XLA (vmapped batch encode:
+    pallas under vmap runs B sequential launches).
     """
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
     T = h.shape[0]
@@ -109,7 +111,7 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         valid = jnp.int32(T) if n_valid is None else n_valid
-        if has_pallas_tpu() and T >= 512:
+        if allow_flash and has_pallas_tpu() and T >= 512:
             from qwen3_asr_tpu.ops.pallas_attention import flash_attention
 
             attn = flash_attention(q, k, v, valid, causal=False,
@@ -190,7 +192,7 @@ def encode_audio(params: dict, cfg: AudioEncoderConfig, mel) -> jax.Array:
 
 
 def _encode_padded_core(params, cfg: AudioEncoderConfig, mel_p,
-                        gap_pos, gap_size, n_valid):
+                        gap_pos, gap_size, n_valid, allow_flash=True):
     """Bucketed encoder: mel_p is [n_mel, F_b] with F_b a chunk multiple
     and frames past the true count zeroed (audio/mel.py
     ::log_mel_spectrogram_padded). One compiled program per F_b bucket.
@@ -227,7 +229,8 @@ def _encode_padded_core(params, cfg: AudioEncoderConfig, mel_p,
         window = max_out * (cfg.n_window_infer // chunk)   # 104 for FA
 
     def body(carry, layer):
-        return _encoder_block(cfg, carry, layer, window, n_valid=n_valid), None
+        return _encoder_block(cfg, carry, layer, window, n_valid=n_valid,
+                              allow_flash=allow_flash), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
 
@@ -248,9 +251,11 @@ def _encode_padded_jit(params, cfg, mel_p, gap_pos, gap_size, n_valid):
 def _encode_padded_batch_jit(params, cfg, mel_b, gap_pos, gap_size, n_valid):
     """Batched bucketed encoder: mel_b [B, n_mel, F_b], per-item scalars.
     ONE device dispatch for the whole batch (serving: B files of the same
-    length bucket encode together instead of B sequential round trips)."""
+    length bucket encode together instead of B sequential round trips).
+    Attention stays on XLA — pallas under vmap would serialize per item."""
     return jax.vmap(
-        lambda m, gp, gs, nv: _encode_padded_core(params, cfg, m, gp, gs, nv)
+        lambda m, gp, gs, nv: _encode_padded_core(params, cfg, m, gp, gs, nv,
+                                                  allow_flash=False)
     )(mel_b, gap_pos, gap_size, n_valid)
 
 
