@@ -62,6 +62,8 @@ def main():
     params["decoder"] = fuse_decoder_params(params["decoder"])
     params = jax.device_put(params)
     dcfg = cfg.decoder
+    # int8 KV cache pairs with the int8 decode config
+    cache_dtype = jnp.int8 if quant == "int8pc" else jnp.bfloat16
     unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     if unroll > 1:
         dcfg = dataclasses.replace(dcfg, scan_unroll=unroll)
@@ -98,7 +100,7 @@ def main():
         out, n_kept = generate_greedy(
             params["decoder"], dcfg_noeos, jnp.asarray(toks),
             jnp.int32(n_prompt), audio_padded, jnp.int32(n_audio), off,
-            max_tokens,
+            max_tokens, cache_dtype=cache_dtype,
         )
         out.block_until_ready()
         t3 = time.perf_counter()
@@ -118,7 +120,7 @@ def main():
         cfg_noeos = dataclasses.replace(cfg, decoder=dcfg_noeos)
         t0 = time.perf_counter()
         _, n_kept = transcribe_fused(params, cfg_noeos, audio, filters,
-                                     max_tokens)
+                                     max_tokens, cache_dtype=cache_dtype)
         t1 = time.perf_counter()
         return {"total_ms": (t1 - t0) * 1e3, "n_tokens": n_kept}
 

@@ -63,9 +63,32 @@ def rope_neox(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 def init_kv_cache(cfg: DecoderConfig, n_ctx: int, dtype=jnp.bfloat16) -> dict:
     """Preallocated [L, n_ctx, n_kv, head_dim] cache (reference keeps F16
-    GGML tensors, text_decoder.cpp:337-386; bf16 is the TPU-native choice)."""
+    GGML tensors, text_decoder.cpp:337-386; bf16 is the TPU-native choice).
+
+    dtype=jnp.int8: quantized cache — int8 rows + per-(row, head) f32
+    scales (`k_s`/`v_s` [L, n_ctx, n_kv]). Halves the cache stream that is
+    ~25% of the decode step's HBM bytes; the int8 decode config pairs with
+    it."""
     shape = (cfg.n_layers, n_ctx, cfg.n_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        cache["k_s"] = jnp.zeros(shape[:3], jnp.float32)
+        cache["v_s"] = jnp.zeros(shape[:3], jnp.float32)
+    return cache
+
+
+def _quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[T, n_kv, hd] float -> (int8 rows, f32 scales [T, n_kv])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dequantize_kv(q: jax.Array, s: jax.Array) -> jax.Array:
+    """[S, n_kv, hd] int8 + [S, n_kv] f32 -> f32."""
+    return q.astype(jnp.float32) * s[..., None]
 
 
 def embed_with_audio(
@@ -153,6 +176,7 @@ def decoder_forward(
     S = kv_cache["k"].shape[1]
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
     cache_dtype = kv_cache["k"].dtype
+    kv_quant = "k_s" in kv_cache  # int8 cache rows + per-(row, head) scales
 
     offset = jnp.asarray(cache_offset, jnp.int32)
     valid = jnp.asarray(kv_valid_len, jnp.int32)
@@ -206,11 +230,22 @@ def decoder_forward(
             x = matmul_any(gate * matmul_any(x, lp["w_up"]), lp["w_down"])
         return h1 + x
 
+    def _store(k, v):
+        """K/V rows in the cache's storage format."""
+        if kv_quant:
+            kq, ks = _quantize_kv_rows(k)
+            vq, vs = _quantize_kv_rows(v)
+            return {"k": kq, "v": vq, "k_s": ks, "v_s": vs}
+        return {"k": k.astype(cache_dtype), "v": v.astype(cache_dtype)}
+
     def body(carry, xs):
         x_in = carry
+        k_s_l = v_s_l = None
         if prefill:
             lp = xs
             k_cache_l = v_cache_l = None
+        elif kv_quant:
+            lp, k_cache_l, v_cache_l, k_s_l, v_s_l = xs
         else:
             lp, k_cache_l, v_cache_l = xs
 
@@ -235,11 +270,11 @@ def decoder_forward(
                     n_heads=cfg.n_heads, n_kv=cfg.n_kv_heads,
                     head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
                     theta=cfg.rope_theta, scale=scale,
+                    k_scale=k_s_l, v_scale=v_s_l,
                 )
                 x = matmul_any(attn_flat.astype(x_in.dtype), lp["wo"])
                 h1 = x_in + x
-                return _mlp(lp, h1), (k_cd.astype(cache_dtype),
-                                      v_cd.astype(cache_dtype))
+                return _mlp(lp, h1), _store(k_cd, v_cd)
             q = qkv[:, :dq].reshape(T, cfg.n_heads, cfg.head_dim)
             k = qkv[:, dq : dq + dkv].reshape(T, cfg.n_kv_heads, cfg.head_dim)
             v = qkv[:, dq + dkv :].reshape(T, cfg.n_kv_heads, cfg.head_dim)
@@ -254,23 +289,34 @@ def decoder_forward(
         q = rope_neox(q, positions, cfg.rope_theta)
         k = rope_neox(k, positions, cfg.rope_theta)
 
+        if kv_quant and k_cache_l is not None:
+            k_cache_l = _dequantize_kv(k_cache_l, k_s_l).astype(q.dtype)
+            v_cache_l = _dequantize_kv(v_cache_l, v_s_l).astype(q.dtype)
         attn = attend(q, k, v, k_cache_l, v_cache_l)
         x = matmul_any(attn.reshape(T, cfg.n_heads * cfg.head_dim), lp["wo"])
         h1 = x_in + x
-        return _mlp(lp, h1), (k.astype(cache_dtype), v.astype(cache_dtype))
+        return _mlp(lp, h1), _store(k, v)
 
-    xs = dec_params["layers"] if prefill else (
-        dec_params["layers"], kv_cache["k"], kv_cache["v"]
-    )
-    h_out, (k_rows, v_rows) = jax.lax.scan(body, h, xs,
-                                           unroll=cfg.scan_unroll)
+    if prefill:
+        xs = dec_params["layers"]
+    elif kv_quant:
+        xs = (dec_params["layers"], kv_cache["k"], kv_cache["v"],
+              kv_cache["k_s"], kv_cache["v_s"])
+    else:
+        xs = (dec_params["layers"], kv_cache["k"], kv_cache["v"])
+    h_out, rows = jax.lax.scan(body, h, xs, unroll=cfg.scan_unroll)
     zero = jnp.int32(0)
     new_cache = {
         "k": jax.lax.dynamic_update_slice(
-            kv_cache["k"], k_rows, (zero, offset, zero, zero)),
+            kv_cache["k"], rows["k"], (zero, offset, zero, zero)),
         "v": jax.lax.dynamic_update_slice(
-            kv_cache["v"], v_rows, (zero, offset, zero, zero)),
+            kv_cache["v"], rows["v"], (zero, offset, zero, zero)),
     }
+    if kv_quant:
+        new_cache["k_s"] = jax.lax.dynamic_update_slice(
+            kv_cache["k_s"], rows["k_s"], (zero, offset, zero))
+        new_cache["v_s"] = jax.lax.dynamic_update_slice(
+            kv_cache["v_s"], rows["v_s"], (zero, offset, zero))
     return h_out, new_cache
 
 

@@ -35,7 +35,8 @@ def expected_n_audio(n_frames: int, chunk: int = 100) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_frames", "max_tokens", "audio_offset"),
+    static_argnames=("cfg", "n_frames", "max_tokens", "audio_offset",
+                     "cache_dtype"),
 )
 def _transcribe_fused_jit(
     params: dict,
@@ -46,6 +47,7 @@ def _transcribe_fused_jit(
     n_frames: int,
     audio_offset: int,
     max_tokens: int,
+    cache_dtype=jnp.bfloat16,
 ):
     mel = _mel_device(pcm_padded, filters_t, n_frames).T     # [n_mels, N]
     feats = _encode_jit(params["encoder"], cfg.encoder, mel, n_frames)
@@ -54,6 +56,7 @@ def _transcribe_fused_jit(
     return generate_greedy(
         params["decoder"], cfg.decoder, prompt, jnp.int32(n_prompt),
         feats, jnp.int32(n_audio), audio_offset, max_tokens,
+        cache_dtype=cache_dtype,
     )
 
 
@@ -64,6 +67,7 @@ def transcribe_fused(
     filters: np.ndarray,
     max_tokens: int,
     system_prompt_tokens=None,
+    cache_dtype=jnp.bfloat16,
 ) -> tuple[np.ndarray, int]:
     """-> (tokens [max_tokens], n_kept). One device round trip."""
     samples = np.asarray(samples)
@@ -83,6 +87,6 @@ def transcribe_fused(
     out, n_kept = _transcribe_fused_jit(
         params, cfg, jnp.asarray(buf), jnp.asarray(filters.T),
         jnp.asarray(np.asarray(prompt, np.int32)), n_frames, offset,
-        max_tokens,
+        max_tokens, cache_dtype,
     )
     return np.asarray(out), int(n_kept)

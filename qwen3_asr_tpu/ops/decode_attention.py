@@ -54,9 +54,24 @@ def _rope_row(x, pos, theta):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
 
 
+def _decode_attn_kernel_q(scalars_ref, qkv_ref, kc_ref, vc_ref, ks_ref,
+                          vs_ref, qn_ref, kn_ref, o_ref, kout_ref, vout_ref,
+                          **kw):
+    _decode_attn_body(scalars_ref, qkv_ref, kc_ref, vc_ref, qn_ref, kn_ref,
+                      o_ref, kout_ref, vout_ref, ks_ref=ks_ref,
+                      vs_ref=vs_ref, **kw)
+
+
 def _decode_attn_kernel(scalars_ref, qkv_ref, kc_ref, vc_ref,
-                        qn_ref, kn_ref, o_ref, kout_ref, vout_ref, *,
-                        group, n_heads, n_kv, head_dim, eps, theta, scale):
+                        qn_ref, kn_ref, o_ref, kout_ref, vout_ref, **kw):
+    _decode_attn_body(scalars_ref, qkv_ref, kc_ref, vc_ref, qn_ref, kn_ref,
+                      o_ref, kout_ref, vout_ref, **kw)
+
+
+def _decode_attn_body(scalars_ref, qkv_ref, kc_ref, vc_ref,
+                      qn_ref, kn_ref, o_ref, kout_ref, vout_ref, *,
+                      group, n_heads, n_kv, head_dim, eps, theta, scale,
+                      ks_ref=None, vs_ref=None):
     offset = scalars_ref[0]
     pos = scalars_ref[1]
     S = kc_ref.shape[0]
@@ -77,6 +92,8 @@ def _decode_attn_kernel(scalars_ref, qkv_ref, kc_ref, vc_ref,
         v_fresh = v_all[h:h + 1, :]
 
         kc = kc_ref[:, h * D:(h + 1) * D].astype(jnp.float32)   # [S, D]
+        if ks_ref is not None:  # int8 cache: per-(row, head) scales
+            kc = kc * ks_ref[:, h:h + 1]
         s_cache = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         s_cache = jnp.where(valid, s_cache, _NEG)
@@ -88,6 +105,8 @@ def _decode_attn_kernel(scalars_ref, qkv_ref, kc_ref, vc_ref,
         p_fresh = jnp.exp(s_fresh - m)                       # [group, 1]
         l = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
         vc = vc_ref[:, h * D:(h + 1) * D].astype(jnp.float32)
+        if vs_ref is not None:
+            vc = vc * vs_ref[:, h:h + 1]
         out = jax.lax.dot_general(p_cache, vc, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         out = (out + p_fresh * v_fresh) / l                  # [group, D]
@@ -104,7 +123,7 @@ def _decode_attn_kernel(scalars_ref, qkv_ref, kc_ref, vc_ref,
 )
 def decode_attention(
     qkv: jax.Array,        # [1, (n_heads + 2*n_kv) * D]
-    k_cache: jax.Array,    # [S, n_kv, D]
+    k_cache: jax.Array,    # [S, n_kv, D] float — or int8 with k_scale set
     v_cache: jax.Array,
     q_norm: jax.Array,     # [D]
     k_norm: jax.Array,     # [D]
@@ -113,21 +132,36 @@ def decode_attention(
     *,
     n_heads: int, n_kv: int, head_dim: int,
     eps: float, theta: float, scale: float,
+    k_scale: jax.Array | None = None,   # [S, n_kv] f32 (int8 cache rows)
+    v_scale: jax.Array | None = None,
     interpret: bool = False,
 ):
-    """-> (attn [1, n_heads*D] in cache dtype, k_new [1, n_kv, D],
-    v_new [1, n_kv, D])."""
+    """-> (attn [1, n_heads*D] f32, k_new [1, n_kv, D] f32,
+    v_new [1, n_kv, D] f32 — the caller stores them in the cache's
+    format)."""
     S = k_cache.shape[0]
     D = head_dim
     group = n_heads // n_kv
+    quant = k_scale is not None
 
-    kernel = functools.partial(
-        _decode_attn_kernel, group=group, n_heads=n_heads, n_kv=n_kv,
-        head_dim=D, eps=eps, theta=theta, scale=scale,
-    )
-    dtype = k_cache.dtype
+    kw = dict(group=group, n_heads=n_heads, n_kv=n_kv,
+              head_dim=D, eps=eps, theta=theta, scale=scale)
+    kernel = (functools.partial(_decode_attn_kernel_q, **kw) if quant
+              else functools.partial(_decode_attn_kernel, **kw))
     scalars = jnp.stack([jnp.asarray(offset, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
+
+    cache_specs = [
+        pl.BlockSpec((S, n_kv * D), lambda *_: (0, 0)),
+        pl.BlockSpec((S, n_kv * D), lambda *_: (0, 0)),
+    ]
+    cache_args = [k_cache.reshape(S, n_kv * D), v_cache.reshape(S, n_kv * D)]
+    if quant:
+        cache_specs += [pl.BlockSpec((S, n_kv), lambda *_: (0, 0)),
+                        pl.BlockSpec((S, n_kv), lambda *_: (0, 0))]
+        cache_args += [k_scale.astype(jnp.float32),
+                       v_scale.astype(jnp.float32)]
+
     attn, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -135,8 +169,7 @@ def decode_attention(
             grid=(1,),
             in_specs=[
                 pl.BlockSpec((n_heads + 2 * n_kv, D), lambda *_: (0, 0)),
-                pl.BlockSpec((S, n_kv * D), lambda *_: (0, 0)),
-                pl.BlockSpec((S, n_kv * D), lambda *_: (0, 0)),
+                *cache_specs,
                 pl.BlockSpec((1, D), lambda *_: (0, 0)),
                 pl.BlockSpec((1, D), lambda *_: (0, 0)),
             ],
@@ -147,13 +180,12 @@ def decode_attention(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_heads, D), dtype),
-            jax.ShapeDtypeStruct((n_kv, D), dtype),
-            jax.ShapeDtypeStruct((n_kv, D), dtype),
+            jax.ShapeDtypeStruct((n_heads, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_kv, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_kv, D), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, qkv.reshape(n_heads + 2 * n_kv, D),
-      k_cache.reshape(S, n_kv * D), v_cache.reshape(S, n_kv * D),
+    )(scalars, qkv.reshape(n_heads + 2 * n_kv, D), *cache_args,
       q_norm.reshape(1, -1), k_norm.reshape(1, -1))
     return (attn.reshape(1, n_heads * D), k_new.reshape(1, n_kv, D),
             v_new.reshape(1, n_kv, D))

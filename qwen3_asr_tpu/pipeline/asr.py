@@ -127,6 +127,11 @@ class Qwen3ASR:
     def set_progress_callback(self, cb: Callable[[int, int], None]) -> None:
         self._progress_cb = cb
 
+    def _cache_dtype(self):
+        # int8 KV cache pairs with the int8 decode config: the cache stream
+        # is ~25% of the decode step's HBM bytes
+        return jnp.int8 if self.quantize == "int8pc" else jnp.bfloat16
+
     # -- transcription -------------------------------------------------------
 
     def transcribe(self, audio, params: TranscribeParams | None = None) -> TranscribeResult:
@@ -254,6 +259,7 @@ class Qwen3ASR:
                     jnp.asarray(toks), jnp.int32(n_prompt),
                     audio_padded, jnp.int32(n_audio), offset,
                     params.max_tokens,
+                    cache_dtype=self._cache_dtype(),
                 )
                 result.tokens = [int(t) for t in np.asarray(out)[: int(n_kept)]]
         result.t_decode_ms = (time.perf_counter() - t0) * 1000

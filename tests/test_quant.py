@@ -184,6 +184,64 @@ def test_int8pc_decoder_argmax_agreement(rng):
     np.testing.assert_allclose(fused_logits, quant_logits, atol=1e-4)
 
 
+def test_int8_kv_cache_generate_agreement(rng):
+    """int8 KV cache (rows + per-(row, head) scales): greedy tokens match
+    the f32-cache decode on a tiny model."""
+    from qwen3_asr_tpu.models.generate import generate_greedy
+
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=3, dtype=jnp.float32)
+    dec = params["decoder"]
+    dcfg = cfg.decoder
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = ([5, 6] + [dcfg.audio_pad_token_id] * n_audio
+              + [dcfg.audio_end_token_id, 7])
+    P = 16
+    toks = np.full(P, dcfg.pad_token_id % dcfg.vocab_size, np.int32)
+    toks[: len(prompt)] = prompt
+    args = (jnp.asarray(toks), jnp.int32(len(prompt)), jnp.asarray(audio),
+            jnp.int32(n_audio), 2, 8)
+
+    base_out, base_n = generate_greedy(dec, dcfg, *args,
+                                       cache_dtype=jnp.float32)
+    q_out, q_n = generate_greedy(dec, dcfg, *args, cache_dtype=jnp.int8)
+    assert int(base_n) == int(q_n)
+    n = int(base_n)
+    assert list(np.asarray(base_out)[:n]) == list(np.asarray(q_out)[:n])
+
+
+def test_decode_attention_int8_cache_matches(rng):
+    """The decode-attention kernel's int8-cache variant == dequantize-then-
+    attend (interpret mode)."""
+    from qwen3_asr_tpu.models.decoder import _quantize_kv_rows
+    from qwen3_asr_tpu.ops.decode_attention import decode_attention
+
+    n_heads, n_kv, D, S = 4, 2, 128, 64
+    eps, theta, scale = 1e-6, 1e4, 1.0 / np.sqrt(D)
+    pos = 37
+    qkv = jnp.asarray(
+        rng.standard_normal((1, (n_heads + 2 * n_kv) * D)), jnp.float32)
+    kc = rng.standard_normal((S, n_kv, D)).astype(np.float32)
+    vc = rng.standard_normal((S, n_kv, D)).astype(np.float32)
+    qn = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    kq, ks = _quantize_kv_rows(jnp.asarray(kc))
+    vq, vs = _quantize_kv_rows(jnp.asarray(vc))
+
+    kw = dict(n_heads=n_heads, n_kv=n_kv, head_dim=D, eps=eps, theta=theta,
+              scale=float(scale), interpret=True)
+    ref, _, _ = decode_attention(
+        qkv, kq.astype(jnp.float32) * ks[..., None],
+        vq.astype(jnp.float32) * vs[..., None], qn, kn,
+        jnp.int32(pos), jnp.int32(pos), **kw)
+    out, k_new, v_new = decode_attention(
+        qkv, kq, vq, qn, kn, jnp.int32(pos), jnp.int32(pos),
+        k_scale=ks, v_scale=vs, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_native_q8_gguf_load(tmp_path, rng):
     """A Q8_0 GGUF loads its blocks directly as int8 leaves (no requant),
     and the pipeline produces the same tokens as dequantized-float load."""
