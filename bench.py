@@ -62,8 +62,11 @@ def main():
     params["decoder"] = fuse_decoder_params(params["decoder"])
     params = jax.device_put(params)
     dcfg = cfg.decoder
-    # int8 KV cache pairs with the int8 decode config
-    cache_dtype = jnp.int8 if quant == "int8pc" else jnp.bfloat16
+    # BENCH_KV_INT8=1: int8 KV cache (measured SLOWER on the v5e — the
+    # per-step quantize/dequant outweighs the bytes saved; kept for
+    # long-context memory experiments)
+    cache_dtype = (jnp.int8 if os.environ.get("BENCH_KV_INT8") == "1"
+                   else jnp.bfloat16)
     unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     if unroll > 1:
         dcfg = dataclasses.replace(dcfg, scan_unroll=unroll)

@@ -128,9 +128,12 @@ class Qwen3ASR:
         self._progress_cb = cb
 
     def _cache_dtype(self):
-        # int8 KV cache pairs with the int8 decode config: the cache stream
-        # is ~25% of the decode step's HBM bytes
-        return jnp.int8 if self.quantize == "int8pc" else jnp.bfloat16
+        # bf16 cache measured FASTER than int8 even in the int8 decode
+        # config (507 vs 591 tok/s on the v5e): the per-step quantize-on-
+        # write + in-kernel dequant cost more than the ~90 MB/step saved.
+        # jnp.int8 remains supported (generate_greedy cache_dtype) for
+        # long-context memory pressure.
+        return jnp.bfloat16
 
     # -- transcription -------------------------------------------------------
 
