@@ -138,6 +138,49 @@ def test_convert_roundtrip_exact(tmp_path, rng):
                     err_msg=f"{side}.{key}")
 
 
+def test_convert_forced_aligner(tmp_path, rng):
+    """FA variant: classify head + FA metadata keys survive the round trip
+    and load as an aligner model."""
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.runtime.params import (
+        init_aligner_params,
+        load_aligner_model,
+    )
+
+    cfg = tiny_aligner_config()
+    params = jax.tree.map(np.asarray,
+                          init_aligner_params(cfg, 37, jnp.float32))
+    _hf_checkpoint(tmp_path, cfg, params)
+
+    # overwrite config.json with the FA variant + classify head tensors
+    config = json.loads((tmp_path / "config.json").read_text())
+    config["thinker_config"]["model_type"] = "qwen3_forced_aligner"
+    config["thinker_config"]["classify_num"] = cfg.decoder.classify_num
+    config["timestamp_token_id"] = cfg.timestamp_token_id
+    (tmp_path / "config.json").write_text(json.dumps(config))
+
+    from safetensors.numpy import load_file, save_file
+    t = load_file(str(tmp_path / "model.safetensors"))
+    t["thinker.classify_head.weight"] = np.ascontiguousarray(
+        np.asarray(params["decoder"]["classify_w"]).T)
+    t["thinker.classify_head.bias"] = np.asarray(
+        params["decoder"]["classify_b"])
+    save_file(t, str(tmp_path / "model.safetensors"))
+
+    out = tmp_path / "fa.gguf"
+    convert(tmp_path, out, "f32")
+
+    cfg2, loaded, _, _ = load_aligner_model(str(out), jnp.float32)
+    assert cfg2.decoder.classify_num == cfg.decoder.classify_num
+    assert cfg2.timestamp_token_id == cfg.timestamp_token_id
+    np.testing.assert_allclose(
+        np.asarray(loaded["decoder"]["classify_w"]),
+        np.asarray(params["decoder"]["classify_w"]), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["decoder"]["classify_b"]),
+        np.asarray(params["decoder"]["classify_b"]), atol=0)
+
+
 def test_convert_q8_0_within_quant_error(tmp_path, rng):
     cfg = tiny_asr_config()
     params = jax.tree.map(np.asarray, init_asr_params(cfg, 31, jnp.float32))
