@@ -76,6 +76,37 @@ def test_server_warmup(rng):
         server.close()
 
 
+def test_concurrent_submitters(rng):
+    """Many client threads submitting simultaneously: every future resolves
+    with the right per-input result (no cross-request mixups)."""
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    freqs = [220, 330, 440, 550, 660, 770]
+    expected = {f: asr.transcribe(_tone(f), params).tokens for f in freqs}
+
+    server = ASRServer(asr, params, max_batch=4, max_wait_ms=20.0)
+    try:
+        results = {}
+        lock = threading.Lock()
+
+        def client(f):
+            r = server.submit(_tone(f)).result(timeout=300)
+            with lock:
+                results[f] = r.tokens
+
+        threads = [threading.Thread(target=client, args=(f,))
+                   for f in freqs * 2]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert results == expected
+        assert server.n_served == len(freqs) * 2
+    finally:
+        server.close()
+
+
 def test_http_transcribe_and_health(rng):
     from qwen3_asr_tpu.audio.wav import write_wav
     import tempfile, os
