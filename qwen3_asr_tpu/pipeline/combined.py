@@ -42,7 +42,10 @@ def transcribe_and_align(
     out.detected_language = detected
     out.transcript = transcript
 
-    align_result = aligner.align(audio, transcript, align_lang)
+    align_result = aligner.align(
+        audio, transcript, align_lang,
+        mel_bucket=params.mel_bucket if params else 0,
+    )
     out.alignment = align_result
     if not align_result.success:
         out.error_msg = f"Alignment failed: {align_result.error_msg}"
