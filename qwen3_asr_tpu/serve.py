@@ -46,10 +46,12 @@ from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
 class _Request:
     samples: np.ndarray
     future: Future
+    align_text: str | None = None  # set: forced-alignment request
 
 
 class ASRServer:
-    """Dynamic-batching wrapper around a loaded `Qwen3ASR`."""
+    """Dynamic-batching wrapper around a loaded `Qwen3ASR` (plus an
+    optional `ForcedAligner` for /v1/align)."""
 
     def __init__(
         self,
@@ -57,8 +59,10 @@ class ASRServer:
         params: TranscribeParams | None = None,
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        aligner=None,
     ):
         self.asr = asr
+        self.aligner = aligner
         # mel_bucket=500 (5 s granularity): arbitrary request lengths reuse
         # a bounded set of compiled programs instead of compiling per length
         self.params = params or TranscribeParams(print_timing=False,
@@ -84,6 +88,14 @@ class ASRServer:
     def transcribe(self, samples: np.ndarray):
         return self.submit(samples).result()
 
+    def submit_align(self, samples: np.ndarray, text: str) -> Future:
+        """Enqueue a forced-alignment request -> Future of AlignmentResult.
+        Runs on the same dispatch thread as transcription (one device
+        owner); alignment is a single NAR pass, so it is not batched."""
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(samples), fut, align_text=text))
+        return fut
+
     def warmup(self, seconds: tuple = (5, 15, 30)) -> None:
         """Precompile the shape buckets before taking traffic: with
         mel_bucket set, each representative length compiles the one
@@ -107,10 +119,13 @@ class ASRServer:
 
     def _collect(self) -> list[_Request]:
         """Block for the first request, then batch whatever arrives within
-        the window (up to max_batch)."""
+        the window (up to max_batch). Alignment requests are returned
+        alone; a queued alignment ends an ASR batch early (requeued)."""
         first = self._queue.get()
         if first is None:
             return []
+        if first.align_text is not None:
+            return [first]
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
         while len(batch) < self.max_batch:
@@ -123,6 +138,9 @@ class ASRServer:
                 break
             if req is None:
                 break
+            if req.align_text is not None:
+                self._queue.put(req)  # handled in its own round
+                break
             batch.append(req)
         return batch
 
@@ -132,7 +150,11 @@ class ASRServer:
             if not batch:
                 continue
             try:
-                if len(batch) == 1:
+                if batch[0].align_text is not None:
+                    results = [self.aligner.align(
+                        batch[0].samples, batch[0].align_text,
+                        mel_bucket=self.params.mel_bucket)]
+                elif len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
                 else:
                     # pad the batch to a power of two (repeat the last item)
@@ -184,7 +206,7 @@ def _make_handler(server: ASRServer):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/v1/transcribe":
+            if self.path not in ("/v1/transcribe", "/v1/align"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -195,6 +217,27 @@ def _make_handler(server: ASRServer):
                     self._reply(400, {"error": f"Audio must be 16kHz, got {sr} Hz"})
                     return
                 t0 = time.perf_counter()
+                if self.path == "/v1/align":
+                    # reference transcript via the X-Align-Text header
+                    # (body carries the WAV bytes)
+                    text = self.headers.get("X-Align-Text", "")
+                    if not text:
+                        self._reply(400,
+                                    {"error": "X-Align-Text header required"})
+                        return
+                    if server.aligner is None:
+                        self._reply(400, {"error": "no aligner model loaded"})
+                        return
+                    result = server.submit_align(samples, text).result()
+                    if not result.success:
+                        self._reply(500, {"error": result.error_msg})
+                        return
+                    self._reply(200, {
+                        "words": [{"word": w.word, "start": w.start,
+                                   "end": w.end} for w in result.words],
+                        "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                    })
+                    return
                 result = server.submit(samples).result()
                 if not result.success:
                     self._reply(500, {"error": result.error_msg})
@@ -235,6 +278,9 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
+    p.add_argument("--aligner-model", default="",
+                   help="forced-aligner GGUF: enables POST /v1/align "
+                        "(X-Align-Text header + WAV body)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -243,12 +289,21 @@ def main(argv=None) -> int:
     if not asr.load_model(args.model):
         print(f"Error: {asr.error_msg}", file=sys.stderr)
         return 1
+    aligner = None
+    if args.aligner_model:
+        from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+        aligner = ForcedAligner(dtype=jnp.bfloat16)
+        if not aligner.load_model(args.aligner_model):
+            print(f"Error (aligner): {aligner.error_msg}", file=sys.stderr)
+            return 1
     server = ASRServer(
         asr,
         TranscribeParams(max_tokens=args.max_tokens, print_timing=False,
                          mel_bucket=500),
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        aligner=aligner,
     )
     if args.warmup:
         server.warmup(tuple(float(s) for s in args.warmup.split(",")))

@@ -76,6 +76,57 @@ def test_server_warmup(rng):
         server.close()
 
 
+def test_align_endpoint(rng):
+    """Alignment requests ride the same dispatch thread; the /v1/align HTTP
+    route returns word timestamps."""
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+    asr = _tiny_asr()
+    fcfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(fcfg, seed=41,
+                   vocab=make_byte_vocab(fcfg.decoder.vocab_size, {}))
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0, aligner=fa)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    port = httpd.server_address[1]
+    try:
+        # direct API
+        r = server.submit_align(_tone(440), "hello world").result(timeout=300)
+        assert r.success and len(r.words) == 2
+
+        # HTTP route
+        from qwen3_asr_tpu.audio.wav import write_wav
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "a.wav")
+            write_wav(p, _tone(440))
+            wav_bytes = open(p, "rb").read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/align", data=wav_bytes,
+            headers={"X-Align-Text": "hello world"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = json.loads(resp.read())
+        assert [w["word"] for w in body["words"]] == ["hello", "world"]
+
+        # missing header -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/align", data=wav_bytes,
+            method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
 def test_concurrent_submitters(rng):
     """Many client threads submitting simultaneously: every future resolves
     with the right per-input result (no cross-request mixups)."""
