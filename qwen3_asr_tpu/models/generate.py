@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qwen3_asr_tpu.config import DecoderConfig
 from qwen3_asr_tpu.models.decoder import (
@@ -125,34 +126,74 @@ def decode_step(dec_params, cfg, token, pos, cache):
     return jnp.argmax(lm_logits(dec_params, cfg, h[0])).astype(jnp.int32), cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                   donate_argnames=("cache",))
+def decode_chunk(dec_params, cfg, token, pos0, cache, n_steps: int, limit):
+    """Up to n_steps greedy successors of `token` in one dispatch
+    (`limit` <= n_steps, dynamic: remaining budget). Returns
+    (successors [n_steps], n_generated, cache). Stops after emitting EOS."""
+    out0 = jnp.zeros((n_steps,), jnp.int32)
+
+    def cond(state):
+        i, tok, _, _ = state
+        return (i < limit) & (tok != cfg.eos_token_id)
+
+    def body(state):
+        i, tok, cache, out = state
+        nxt, cache = decode_step(dec_params, cfg, tok, pos0 + i, cache)
+        return i + 1, nxt, cache, out.at[i].set(nxt)
+
+    i, _, cache, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, cache, out0))
+    return out, i, cache
+
+
 def generate_greedy_streaming(
     dec_params, cfg, tokens, n_prompt, audio, n_audio,
     audio_offset: int, max_tokens: int,
-    on_token=None, cache_dtype=jnp.bfloat16,
+    on_token=None, cache_dtype=jnp.bfloat16, chunk: int = 8,
 ):
-    """Greedy decode with a host-side loop: one device dispatch per token,
-    invoking `on_token(i, max_tokens)` per step — the per-token progress
-    contract of the reference (qwen3_asr.cpp:264,289). Slightly slower than
-    `generate_greedy` (per-step dispatch latency); same outputs."""
+    """Greedy decode with a host-side loop, invoking
+    `on_token(i, max_tokens)` per token — the per-token progress contract
+    of the reference (qwen3_asr.cpp:264,289). Decodes `chunk` tokens per
+    device dispatch (callbacks stay per-token, just burstier): per-dispatch
+    latency dominates this path on network-attached chips, so chunking
+    amortizes it ~chunk-fold. Same outputs as `generate_greedy`."""
     P = tokens.shape[0]
     token, cache = prefill_only(
         dec_params, cfg, tokens, n_prompt, audio, n_audio,
         audio_offset, P + max_tokens, cache_dtype,
     )
     out = []
-    n_prompt_i = int(n_prompt)
-    for i in range(max_tokens):
-        t = int(token)
-        if t == cfg.eos_token_id:
-            break
+    pos = int(n_prompt)
+
+    def emit(t) -> bool:
+        if t == cfg.eos_token_id or len(out) >= max_tokens:
+            return False
         out.append(t)
         if on_token:
             on_token(len(out), max_tokens)
-        if len(out) == max_tokens:
-            break
-        token, cache = decode_step(
-            dec_params, cfg, token, jnp.int32(n_prompt_i + i), cache
+        return len(out) < max_tokens
+
+    if not emit(int(token)):
+        return out
+    while True:
+        limit = min(chunk, max_tokens - len(out))
+        succ, n, cache = decode_chunk(
+            dec_params, cfg, token, jnp.int32(pos + len(out) - 1), cache,
+            chunk, jnp.int32(limit),
         )
+        arr = np.asarray(succ)[: int(n)]
+        if len(arr) == 0:
+            break
+        token = jnp.asarray(arr[-1], jnp.int32)
+        stop = False
+        for t in arr:
+            if not emit(int(t)):
+                stop = True
+                break
+        if stop or int(n) < limit:
+            break
     return out
 
 

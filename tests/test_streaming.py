@@ -59,6 +59,40 @@ def test_pipeline_progress_callback(rng):
     assert calls and calls[-1] == len(streamed.tokens)
 
 
+def test_streaming_chunk_sizes(rng):
+    """Chunked streaming (k tokens per dispatch) matches the while_loop
+    decode for chunk sizes that straddle the generation length, including
+    forced-EOS mid-chunk."""
+    import dataclasses
+
+    cfg = tiny_asr_config()
+    dcfg = cfg.decoder
+    dec = init_asr_params(cfg, seed=17, dtype=jnp.float32)["decoder"]
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = [5, 6] + [dcfg.audio_pad_token_id] * n_audio + [7]
+    P = 16
+    toks = np.zeros(P, np.int32)
+    toks[: len(prompt)] = prompt
+    max_tokens = 7
+
+    for eos_override in (dcfg.eos_token_id, -1):
+        cfg_v = dataclasses.replace(dcfg, eos_token_id=eos_override)
+        out, n_kept = generate_greedy(
+            dec, cfg_v, jnp.asarray(toks), jnp.int32(len(prompt)),
+            jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+            cache_dtype=jnp.float32,
+        )
+        expected = list(np.asarray(out)[: int(n_kept)])
+        for chunk in (1, 2, 3, 8, 16):
+            got = generate_greedy_streaming(
+                dec, cfg_v, jnp.asarray(toks), jnp.int32(len(prompt)),
+                jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+                cache_dtype=jnp.float32, chunk=chunk,
+            )
+            assert got == expected, (eos_override, chunk)
+
+
 def test_fused_matches_staged(rng):
     """Single-dispatch fused transcription == staged pipeline."""
     from qwen3_asr_tpu.models.e2e import transcribe_fused
