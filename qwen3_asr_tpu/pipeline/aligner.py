@@ -70,6 +70,21 @@ def _nar_classify(dec_params, cfg, tokens, n_valid, audio, n_audio,
     return jnp.argmax(classify_logits(dec_params, cfg, h), axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_offset"))
+def _nar_classify_batch(dec_params, cfg, tokens, n_valid, audio, n_audio,
+                        audio_offset):
+    """Batched NAR classify: [B, P] prompts + [B, N, h] features -> [B, P]
+    argmax classes, ONE dispatch for the whole batch."""
+    return jax.vmap(
+        lambda tk, nv, au, na: jnp.argmax(
+            classify_logits(
+                dec_params, cfg,
+                nar_forward(dec_params, cfg, tk, au, na, audio_offset,
+                            n_valid=nv),
+            ), axis=-1)
+    )(tokens, n_valid, audio, n_audio)
+
+
 class ForcedAligner:
     """Word-level timestamp alignment (model: Qwen3-ForcedAligner-0.6B)."""
 
@@ -135,6 +150,101 @@ class ForcedAligner:
         return tokens, raw_words
 
     # -- alignment -----------------------------------------------------------
+
+    def align_batch(self, audios: list, texts: list, language: str = "",
+                    mel_bucket: int = 500) -> list:
+        """Align several (audio, text) pairs as batched device programs:
+        one mel+encoder dispatch per length bucket, ONE NAR classify
+        dispatch for the whole batch (the TPU-native answer to running
+        many CLI alignments; the reference is strictly one-shot)."""
+        from qwen3_asr_tpu.audio.mel import (
+            log_mel_spectrogram_padded_batch,
+            num_mel_frames,
+        )
+        from qwen3_asr_tpu.models.encoder import encode_audio_padded_batch
+
+        assert len(audios) == len(texts)
+        results = [AlignmentResult() for _ in audios]
+        if self.params is None:
+            for r in results:
+                r.error_msg = "Model not loaded"
+            return results
+        dcfg = self.cfg.decoder
+        t_total = time.perf_counter()
+
+        samples_list = []
+        for audio in audios:
+            if isinstance(audio, str):
+                samples, sr = load_wav(audio, raw_int16=True)
+                if sr != SAMPLE_RATE:
+                    raise ValueError(f"Audio must be 16kHz, got {sr} Hz")
+            else:
+                samples = np.asarray(audio)
+                if samples.dtype != np.int16:
+                    samples = samples.astype(np.float32)
+            samples_list.append(samples)
+
+        chunk = self.cfg.encoder.chunk_size
+        bf = max(chunk, -(-mel_bucket // chunk) * chunk)
+
+        # batched frontend per length bucket
+        feats_map: dict[int, tuple] = {}
+        true_frames = [num_mel_frames(len(s)) for s in samples_list]
+        groups: dict[int, list[int]] = {}
+        for i, nf in enumerate(true_frames):
+            groups.setdefault(-(-nf // bf) * bf, []).append(i)
+        for idxs in groups.values():
+            mel_b, n_true = log_mel_spectrogram_padded_batch(
+                [samples_list[i] for i in idxs], self.mel_filters, bf)
+            feats_b, n_audio_l = encode_audio_padded_batch(
+                self.params["encoder"], self.cfg.encoder, mel_b, n_true)
+            for j, i in enumerate(idxs):
+                feats_map[i] = (feats_b[j], n_audio_l[j])
+
+        # prompts (pad count from the TRUE mel length per item)
+        B = len(audios)
+        token_lists, word_lists = [], []
+        for i, text in enumerate(texts):
+            text_tokens, words = self.tokenize_with_timestamps(text, language)
+            n_pads = get_feat_extract_output_lengths(true_frames[i])
+            token_lists.append(build_aligner_prompt(text_tokens, n_pads, dcfg))
+            word_lists.append(words)
+
+        pbucket = 128
+        P = -(-max(len(tl) for tl in token_lists) // pbucket) * pbucket
+        toks = np.full((B, P), dcfg.pad_token_id % dcfg.vocab_size, np.int32)
+        n_valid = np.zeros((B,), np.int32)
+        n_audio_arr = np.zeros((B,), np.int32)
+        cap = max(int(feats_map[i][0].shape[0]) for i in range(B))
+        audio_padded = jnp.zeros((B, cap, dcfg.hidden_size), self.dtype)
+        for i in range(B):
+            toks[i, : len(token_lists[i])] = token_lists[i]
+            n_valid[i] = len(token_lists[i])
+            n_audio_arr[i] = feats_map[i][1]
+            feats = feats_map[i][0]
+            audio_padded = audio_padded.at[i, : feats.shape[0]].set(
+                feats.astype(self.dtype))
+
+        pred = np.asarray(_nar_classify_batch(
+            self.params["decoder"], dcfg, jnp.asarray(toks),
+            jnp.asarray(n_valid), audio_padded, jnp.asarray(n_audio_arr), 1,
+        ))
+        t_ms = (time.perf_counter() - t_total) * 1000
+
+        ts_id = self.cfg.timestamp_token_id
+        for i, r in enumerate(results):
+            ts_positions = [j for j, t in enumerate(token_lists[i])
+                            if t == ts_id]
+            classes = [int(pred[i, j]) for j in ts_positions]
+            fixed = fix_timestamp_classes(classes)
+            timestamps = classes_to_timestamps(
+                fixed, self.cfg.timestamp_segment_time_ms)
+            duration = len(samples_list[i]) / SAMPLE_RATE
+            r.words = [AlignedWord(**w) for w in
+                       pair_words(word_lists[i], timestamps, duration)]
+            r.success = True
+            r.t_total_ms = t_ms
+        return results
 
     def align(self, audio, text: str, language: str = "",
               mel_bucket: int = 0) -> AlignmentResult:

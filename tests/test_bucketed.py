@@ -78,6 +78,28 @@ def test_bucketed_align_matches_exact(rng):
            [(w.word, w.start, w.end) for w in exact.words]
 
 
+def test_align_batch_matches_single(rng):
+    """align_batch (batched frontend + ONE NAR dispatch) reproduces the
+    single-pair alignments word-for-word, including mixed lengths."""
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+    cfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(cfg, seed=43,
+                   vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    pairs = [(_tone(1.1, 440), "alpha beta"),
+             (_tone(0.8, 330), "gamma delta epsilon"),
+             (_tone(1.1, 550), "zeta")]
+    singles = [fa.align(a, t, mel_bucket=200) for a, t in pairs]
+    batched = fa.align_batch([a for a, _ in pairs], [t for _, t in pairs],
+                             mel_bucket=200)
+    for s, b in zip(singles, batched):
+        assert b.success
+        assert ([(w.word, w.start, w.end) for w in b.words]
+                == [(w.word, w.start, w.end) for w in s.words])
+
+
 def test_quantized_bucketed_pipeline_runs(rng):
     """Serving combo: int8 modes x mel bucketing through the full pipeline
     (q8_0 exercises the Pallas fallbacks on CPU; int8pc the XLA int8 dots)."""
