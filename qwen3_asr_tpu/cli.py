@@ -117,10 +117,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
     from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
-    from qwen3_asr_tpu.pipeline.combined import (
-        alignment_to_json,
-        transcribe_and_align,
-    )
+    from qwen3_asr_tpu.pipeline.combined import alignment_to_json
     from qwen3_asr_tpu.runtime.profiler import profiler
     from qwen3_asr_tpu.text import detect_language
 

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen3_asr_tpu.config import DecoderConfig
-from qwen3_asr_tpu.ops.attention import mha_attention
 from qwen3_asr_tpu.ops.q8_matmul import (
     is_quant_leaf,
     matmul_any,

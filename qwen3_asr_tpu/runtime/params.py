@@ -17,7 +17,6 @@ Tensor names follow the reference converter (scripts/convert_hf_to_gguf.py).
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
