@@ -49,9 +49,9 @@ def main():
     # 183 plain-ASCII words, byte-tokenized (~5 tokens/word + 2 ts slots)
     text = " ".join(f"word{i:03d}" for i in range(n_words))
 
-    def run():
+    def run(fused):
         t0 = time.perf_counter()
-        r = fa.align(audio, text)
+        r = fa.align(audio, text, fused=fused)
         t1 = time.perf_counter()
         assert r.success, r.error_msg
         assert len(r.words) == n_words, len(r.words)
@@ -62,18 +62,24 @@ def main():
             "classify_ms": r.t_decode_ms,
         }
 
-    print("bench_align: compiling/warmup...", file=sys.stderr, flush=True)
-    run()
+    print("bench_align: compiling/warmup (staged)...", file=sys.stderr, flush=True)
+    run(False)
+    print("bench_align: compiling/warmup (fused)...", file=sys.stderr, flush=True)
+    run(True)
     print("bench_align: timing...", file=sys.stderr, flush=True)
-    runs = [run() for _ in range(3)]
-    best = min(runs, key=lambda r: r["total_ms"])
+    best = min((run(False) for _ in range(3)), key=lambda r: r["total_ms"])
+    best_fused = min((run(True) for _ in range(3)),
+                     key=lambda r: r["total_ms"])
 
+    total_ms = min(best["total_ms"], best_fused["total_ms"])
     result = {
         "metric": "forced_alignment_ms_92s_183w",
-        "value": round(best["total_ms"], 1),
+        "value": round(total_ms, 1),
         "unit": "ms",
-        "vs_baseline": round(12998 / best["total_ms"], 2),  # M2 Pro (BASELINE.md)
+        "vs_baseline": round(12998 / total_ms, 2),  # M2 Pro (BASELINE.md)
         "detail": {
+            "staged_total_ms": round(best["total_ms"], 1),
+            "fused_total_ms": round(best_fused["total_ms"], 1),
             "mel_ms": round(best["mel_ms"], 1),
             "encode_ms": round(best["encode_ms"], 1),
             "classify_ms": round(best["classify_ms"], 1),

@@ -60,6 +60,68 @@ def _transcribe_fused_jit(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_frames", "audio_offset"),
+)
+def _align_fused_jit(
+    params: dict,
+    cfg,                        # AlignerModelConfig
+    pcm_padded: jax.Array,      # [(n_frames+2)*HOP] int16 or f32
+    filters_t: jax.Array,       # [201, n_mels]
+    tokens: jax.Array,          # [P] int32 aligner prompt (padded)
+    n_valid: jax.Array,         # scalar: real prompt length
+    n_frames: int,
+    audio_offset: int,
+):
+    from qwen3_asr_tpu.models.decoder import classify_logits
+    from qwen3_asr_tpu.models.generate import nar_forward
+
+    mel = _mel_device(pcm_padded, filters_t, n_frames).T
+    feats = _encode_jit(params["encoder"], cfg.encoder, mel, n_frames)
+    h = nar_forward(params["decoder"], cfg.decoder, tokens, feats,
+                    jnp.int32(feats.shape[0]), audio_offset, n_valid=n_valid)
+    return jnp.argmax(classify_logits(params["decoder"], cfg.decoder, h),
+                      axis=-1)
+
+
+def align_fused(
+    params: dict,
+    cfg,                        # AlignerModelConfig
+    samples: np.ndarray,
+    filters: np.ndarray,
+    input_tokens,               # list[int]: full aligner prompt
+    audio_offset: int = 1,
+) -> np.ndarray:
+    """Fully-fused forced alignment: PCM + prompt -> per-position argmax
+    classes in ONE device round trip (mel + FA encoder + NAR classify in a
+    single XLA program — the pipeline's 3 dispatches each pay this rig's
+    ~30 ms link latency while FA compute is ~0.1 ms). Exact shapes: one
+    compile per (mel length, prompt bucket)."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = samples.astype(np.float32)
+    n_frames = num_mel_frames(len(samples))
+    padded = reflect_pad(samples)
+    need = (n_frames + 2) * HOP_LENGTH
+    buf = np.zeros(need, dtype=samples.dtype)
+    n_copy = min((n_frames - 1) * HOP_LENGTH + 400, len(padded), need)
+    buf[:n_copy] = padded[:n_copy]
+
+    pbucket = 128
+    n_real = len(input_tokens)
+    P = -(-n_real // pbucket) * pbucket
+    toks = np.full(P, cfg.decoder.pad_token_id % cfg.decoder.vocab_size,
+                   np.int32)
+    toks[:n_real] = input_tokens
+
+    pred = _align_fused_jit(
+        params, cfg, jnp.asarray(buf), jnp.asarray(filters.T),
+        jnp.asarray(toks), jnp.int32(n_real), n_frames, audio_offset,
+    )
+    return np.asarray(pred)[:n_real]
+
+
 def transcribe_fused(
     params: dict,
     cfg: ASRModelConfig,

@@ -247,11 +247,13 @@ class ForcedAligner:
         return results
 
     def align(self, audio, text: str, language: str = "",
-              mel_bucket: int = 0) -> AlignmentResult:
+              mel_bucket: int = 0, fused: bool = False) -> AlignmentResult:
         """`mel_bucket` > 0 (frames, rounded to the 100-frame chunk): pad
         the mel/encoder shapes to a bucket so arbitrary audio lengths reuse
         a bounded set of compiled programs (serving mode; same contract as
-        TranscribeParams.mel_bucket)."""
+        TranscribeParams.mel_bucket). `fused=True`: mel + encoder + NAR
+        classify as ONE device round trip (exact shapes — fixed-length
+        workloads; FA compute is tiny, dispatch latency dominates)."""
         result = AlignmentResult()
         if self.params is None:
             result.error_msg = "Model not loaded"
@@ -274,6 +276,31 @@ class ForcedAligner:
         t_total = time.perf_counter()
         audio_duration = len(samples) / SAMPLE_RATE
         dcfg = self.cfg.decoder
+
+        if fused and not mel_bucket:
+            from qwen3_asr_tpu.audio.mel import num_mel_frames
+            from qwen3_asr_tpu.models.e2e import align_fused
+
+            n_frames_true = num_mel_frames(len(samples))
+            n_pads = get_feat_extract_output_lengths(n_frames_true)
+            text_tokens, words = self.tokenize_with_timestamps(text, language)
+            input_tokens = build_aligner_prompt(text_tokens, n_pads, dcfg)
+            with timer("fa.fused"):
+                pred = align_fused(self.params, self.cfg, samples,
+                                   self.mel_filters, input_tokens)
+            ts_id = self.cfg.timestamp_token_id
+            ts_positions = [i for i, t in enumerate(input_tokens)
+                            if t == ts_id]
+            classes = [int(pred[i]) for i in ts_positions]
+            fixed = fix_timestamp_classes(classes)
+            timestamps = classes_to_timestamps(
+                fixed, self.cfg.timestamp_segment_time_ms)
+            result.words = [AlignedWord(**w) for w in
+                            pair_words(words, timestamps, audio_duration)]
+            result.success = True
+            result.t_total_ms = (time.perf_counter() - t_total) * 1000
+            result.t_decode_ms = result.t_total_ms
+            return result
 
         bucket = mel_bucket
         if bucket > 0:

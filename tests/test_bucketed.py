@@ -78,6 +78,23 @@ def test_bucketed_align_matches_exact(rng):
            [(w.word, w.start, w.end) for w in exact.words]
 
 
+def test_fused_align_matches_exact(rng):
+    """Single-dispatch fused alignment == staged alignment word-for-word."""
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+    cfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(cfg, seed=47,
+                   vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    audio = _tone(1.17)
+    exact = fa.align(audio, "one two three")
+    fused = fa.align(audio, "one two three", fused=True)
+    assert fused.success
+    assert ([(w.word, w.start, w.end) for w in fused.words]
+            == [(w.word, w.start, w.end) for w in exact.words])
+
+
 def test_align_batch_matches_single(rng):
     """align_batch (batched frontend + ONE NAR dispatch) reproduces the
     single-pair alignments word-for-word, including mixed lengths."""
