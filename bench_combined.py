@@ -64,7 +64,7 @@ def main():
         t0 = time.perf_counter()
         asr_result = asr.transcribe(audio, params)
         assert asr_result.success, asr_result.error_msg
-        align_result = fa.align(audio, text)
+        align_result = fa.align(audio, text, fused=True)
         assert align_result.success, align_result.error_msg
         assert len(align_result.words) == n_words
         t1 = time.perf_counter()
