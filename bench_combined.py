@@ -58,7 +58,8 @@ def main():
     # with random weights the ASR transcript is garbage; align a fixed
     # 183-word text instead — the reference's combined workload shape
     text = " ".join(f"word{i:03d}" for i in range(n_words))
-    params = TranscribeParams(max_tokens=n_tokens, print_timing=False)
+    params = TranscribeParams(max_tokens=n_tokens, print_timing=False,
+                              fused=True)
 
     def run():
         t0 = time.perf_counter()

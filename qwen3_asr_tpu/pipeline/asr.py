@@ -47,6 +47,10 @@ class TranscribeParams:
     # audio lengths: every length in a bucket reuses one mel/encoder/decode
     # program (serving mode; the CLI default keeps exact shapes).
     mel_bucket: int = 0
+    # fused=True: mel + encoder + prefill + the whole greedy loop as ONE
+    # device round trip (models/e2e.py; exact shapes, no progress
+    # callback — fixed-length workloads)
+    fused: bool = False
 
 
 @dataclasses.dataclass
@@ -164,6 +168,27 @@ class Qwen3ASR:
     def _transcribe_samples(self, samples, params, result) -> TranscribeResult:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
+
+        if params.fused and not (self._progress_cb or params.print_progress):
+            from qwen3_asr_tpu.models.e2e import transcribe_fused
+
+            sys_tokens = (self.tokenizer.encode(params.system_prompt)
+                          if params.system_prompt else None)
+            out, n_kept = transcribe_fused(
+                self.params, self.cfg, samples, self.mel_filters,
+                params.max_tokens, system_prompt_tokens=sys_tokens,
+                cache_dtype=self._cache_dtype(),
+            )
+            result.tokens = [int(t) for t in out[:n_kept]]
+            result.text = self.tokenizer.decode(result.tokens)
+            result.success = True
+            result.t_total_ms = (time.perf_counter() - t_total) * 1000
+            result.t_decode_ms = result.t_total_ms
+            if params.print_timing:
+                print(f"\nTiming (fused single-dispatch):\n"
+                      f"  Total: {result.t_total_ms:.0f} ms",
+                      file=sys.stderr, flush=True)
+            return result
 
         bucket_frames = params.mel_bucket
         if bucket_frames > 0:

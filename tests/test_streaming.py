@@ -93,6 +93,22 @@ def test_streaming_chunk_sizes(rng):
             assert got == expected, (eos_override, chunk)
 
 
+def test_pipeline_fused_param(rng):
+    """TranscribeParams(fused=True) == staged pipeline tokens/text."""
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(cfg, seed=13, vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    t = np.arange(int(1.3 * 16000)) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    staged = asr.transcribe(audio, TranscribeParams(
+        max_tokens=5, print_timing=False, prompt_bucket=32))
+    fused = asr.transcribe(audio, TranscribeParams(
+        max_tokens=5, print_timing=False, prompt_bucket=32, fused=True))
+    assert fused.success
+    assert fused.tokens == staged.tokens
+    assert fused.text == staged.text
+
+
 def test_fused_matches_staged(rng):
     """Single-dispatch fused transcription == staged pipeline."""
     from qwen3_asr_tpu.models.e2e import transcribe_fused
