@@ -59,54 +59,122 @@ void q8_0_dequant(const uint8_t* raw, int64_t n_blocks, float* out) {
 }
 
 // ---------------------------------------------------------------------------
-// LIS timestamp repair (exact port of the semantics in
-// qwen3_asr_tpu/text/timestamps.py / reference forced_aligner.cpp:1183-1265)
+// LIS timestamp repair.
+//
+// Semantics contract: qwen3_asr_tpu/text/timestamps.py::fix_timestamp_classes_py
+// (the oracle; mirrors reference forced_aligner.cpp:1183-1265). This native
+// version is an independent O(n log n) patience-sorting design rather than the
+// oracle's O(n^2) DP; the tie-breaking is made to agree with the DP exactly:
+//
+//  * the DP sets parent[i] = the SMALLEST j < i with data[j] <= data[i] and
+//    dp[j] = dp[i]-1, and starts reconstruction at the FIRST index of maximal
+//    dp. Within one patience level, values are strictly decreasing as index
+//    grows (two non-decreasing same-level elements would chain, contradicting
+//    equal level), so "smallest valid j" is the first element of the suffix
+//    of that level whose value is <= data[i] — found by binary search — and
+//    "first maximal-dp index" is the first element ever placed on the top
+//    level.
+//
+// Repair of anomaly runs (values off the kept subsequence) uses the same
+// rules as the oracle: runs of <= 2 snap to the nearer surviving neighbor
+// (ties toward the left), longer runs interpolate linearly between anchors.
 // ---------------------------------------------------------------------------
+
+namespace {
+
+// One element placed on a patience level: its index in `data`.
+// levels[l] is ordered by placement (= increasing index, decreasing value).
+struct Levels {
+    std::vector<std::vector<int32_t>> by_level;
+};
+
+// Mark the reconstructed non-decreasing subsequence in `keep`.
+static void mark_kept_subsequence(const int32_t* data, int32_t n,
+                                  std::vector<uint8_t>& keep) {
+    Levels lv;
+    std::vector<int32_t> tops;  // tops[l] = value of last element placed on level l
+    for (int32_t i = 0; i < n; ++i) {
+        const int32_t v = data[i];
+        // First level whose top is > v  ==  the level this element extends
+        // (non-decreasing LIS: an element goes on the first level whose top
+        // exceeds it; equal tops allow chaining so we search with >).
+        size_t lo = 0, hi = tops.size();
+        while (lo < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (tops[mid] > v) hi = mid; else lo = mid + 1;
+        }
+        if (lo == tops.size()) {
+            tops.push_back(v);
+            lv.by_level.emplace_back();
+        } else {
+            tops[lo] = v;
+        }
+        lv.by_level[lo].push_back(i);
+    }
+
+    // Walk back from the FIRST element of the top level, at each step taking
+    // the earliest same-or-lower-valued element of the level below.
+    int32_t cur = lv.by_level.back().front();
+    keep[cur] = 1;
+    for (size_t l = lv.by_level.size() - 1; l > 0; --l) {
+        const std::vector<int32_t>& below = lv.by_level[l - 1];
+        const int32_t limit = data[cur];
+        // Values along `below` strictly decrease; the indices with
+        // value <= limit form a suffix. Binary-search its start.
+        size_t lo = 0, hi = below.size();
+        while (lo < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (data[below[mid]] <= limit) hi = mid; else lo = mid + 1;
+        }
+        cur = below[lo];
+        keep[cur] = 1;
+    }
+}
+
+}  // namespace
 
 void lis_repair(const int32_t* data, int32_t n, int32_t* result) {
     if (n <= 0) return;
-    std::vector<int32_t> dp(n, 1), parent(n, -1);
-    for (int32_t i = 1; i < n; ++i)
-        for (int32_t j = 0; j < i; ++j)
-            if (data[j] <= data[i] && dp[j] + 1 > dp[i]) {
-                dp[i] = dp[j] + 1;
-                parent[i] = j;
-            }
-    int32_t max_len = 0, max_idx = 0;
-    for (int32_t i = 0; i < n; ++i)
-        if (dp[i] > max_len) { max_len = dp[i]; max_idx = i; }
-
-    std::vector<bool> normal(n, false);
-    for (int32_t idx = max_idx; idx != -1; idx = parent[idx]) normal[idx] = true;
+    std::vector<uint8_t> keep(n, 0);
+    mark_kept_subsequence(data, n, keep);
 
     std::memcpy(result, data, n * sizeof(int32_t));
-    int32_t i = 0;
-    while (i < n) {
-        if (normal[i]) { ++i; continue; }
-        int32_t j = i;
-        while (j < n && !normal[j]) ++j;
-        int32_t count = j - i;
-        int32_t left_val = -1, right_val = -1;
-        for (int32_t k = i - 1; k >= 0; --k)
-            if (normal[k]) { left_val = result[k]; break; }
-        for (int32_t k = j; k < n; ++k)
-            if (normal[k]) { right_val = result[k]; break; }
+
+    // Precompute nearest kept neighbor on each side in two sweeps.
+    std::vector<int32_t> prev_keep(n), next_keep(n);
+    for (int32_t i = 0, last = -1; i < n; ++i) {
+        if (keep[i]) last = i;
+        prev_keep[i] = last;
+    }
+    for (int32_t i = n - 1, nxt = n; i >= 0; --i) {
+        if (keep[i]) nxt = i;
+        next_keep[i] = nxt;
+    }
+
+    for (int32_t i = 0; i < n;) {
+        if (keep[i]) { ++i; continue; }
+        const int32_t j = next_keep[i];          // first kept index at/after run (n if none)
+        const int32_t run_end = (j < n) ? j : n; // run is [i, run_end)
+        const int32_t L = prev_keep[i];          // kept index before run (-1 if none)
+        const int32_t left_val = (L >= 0) ? data[L] : -1;
+        const int32_t right_val = (j < n) ? data[j] : -1;
+        const int32_t count = run_end - i;
+
         if (count <= 2) {
-            for (int32_t k = i; k < j; ++k) {
+            for (int32_t k = i; k < run_end; ++k) {
                 if (left_val < 0) result[k] = right_val;
                 else if (right_val < 0) result[k] = left_val;
-                else result[k] = ((k - (i - 1)) <= (j - k)) ? left_val : right_val;
+                else result[k] = ((k - (i - 1)) <= (run_end - k)) ? left_val : right_val;
             }
         } else if (left_val >= 0 && right_val >= 0) {
-            float step = (float)(right_val - left_val) / (count + 1);
-            for (int32_t k = i; k < j; ++k)
+            const float step = (float)(right_val - left_val) / (count + 1);
+            for (int32_t k = i; k < run_end; ++k)
                 result[k] = (int32_t)(left_val + step * (k - i + 1));
-        } else if (left_val >= 0) {
-            for (int32_t k = i; k < j; ++k) result[k] = left_val;
-        } else if (right_val >= 0) {
-            for (int32_t k = i; k < j; ++k) result[k] = right_val;
+        } else if (left_val >= 0 || right_val >= 0) {
+            const int32_t fill = (left_val >= 0) ? left_val : right_val;
+            for (int32_t k = i; k < run_end; ++k) result[k] = fill;
         }
-        i = j;
+        i = run_end;
     }
 }
 
