@@ -16,17 +16,7 @@ def _eprint(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def find_korean_dict(model_path: str) -> str:
-    """Search next to the model and in ./assets (main.cpp:275-292)."""
-    d = os.path.dirname(model_path) or "."
-    for cand in (
-        os.path.join(d, "..", "assets", "korean_dict_jieba.dict"),
-        os.path.join(d, "assets", "korean_dict_jieba.dict"),
-        os.path.join("assets", "korean_dict_jieba.dict"),
-    ):
-        if os.path.isfile(cand):
-            return cand
-    return ""
+from qwen3_asr_tpu.text.korean import find_korean_dict  # noqa: E402  (CLI re-export)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -57,9 +47,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Forced aligner GGUF (required with --transcribe-align)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="On-device compute dtype")
-    p.add_argument("--quantize", default="", choices=["", "q8_0", "int8pc"],
-                   help="Requantize decoder weights on load (Q8_0 GGUF files "
-                        "run their own int8 blocks without this)")
+    p.add_argument("--quantize", default="auto",
+                   choices=["auto", "none", "q8_0", "int8pc"],
+                   help="Decoder weight quantization. 'auto' (default) picks "
+                        "int8pc (per-channel W8A8, the benchmarked-fastest "
+                        "config) for dense GGUFs and leaves Q8_0 files on "
+                        "their native int8 blocks; 'none' forces dense")
+    p.add_argument("--fused", action="store_true", default=True,
+                   help="Run each pipeline leg as ONE fused device program "
+                        "(default; the benchmarked-fastest path)")
+    p.add_argument("--no-fused", action="store_false", dest="fused",
+                   help="Staged dispatches (mel/encoder/decode separately; "
+                        "enables per-stage timing breakdown)")
+    p.add_argument("--mel-bucket", type=int, default=0,
+                   help="Pad mel frames to this bucket (rounded to the "
+                        "100-frame chunk) so different audio lengths reuse "
+                        "one compiled program; 0 = exact shapes")
     p.add_argument("--platform", default="",
                    help="Force a JAX platform (e.g. 'cpu', 'tpu'); default: auto")
     p.add_argument("--trace-dir", default="",
@@ -119,7 +122,6 @@ def main(argv: list[str] | None = None) -> int:
     from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
     from qwen3_asr_tpu.pipeline.combined import alignment_to_json
     from qwen3_asr_tpu.runtime.profiler import profiler
-    from qwen3_asr_tpu.text import detect_language
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -128,7 +130,10 @@ def main(argv: list[str] | None = None) -> int:
         language=args.language,
         print_progress=args.print_progress,
         print_timing=args.print_timing,
+        fused=args.fused,
+        mel_bucket=args.mel_bucket,
     )
+    quantize = "" if args.quantize == "none" else args.quantize
 
     def maybe_profile():
         if args.profile:
@@ -140,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
         _eprint(f"  Aligner Model: {args.aligner_model}")
         _eprint(f"  Audio: {args.audio}\n")
 
-        asr = Qwen3ASR(dtype=dtype, quantize=args.quantize)
+        from qwen3_asr_tpu.pipeline.combined import transcribe_and_align
+
+        asr = Qwen3ASR(dtype=dtype, quantize=quantize)
         if not asr.load_model(args.model):
             _eprint(f"Error (ASR): {asr.error_msg}")
             return 1
@@ -149,41 +156,26 @@ def main(argv: list[str] | None = None) -> int:
             _eprint(f"Error (Aligner): {aligner.error_msg}")
             return 1
 
-        # preload the Korean dict if the override requests it; the detected
-        # language is handled inside transcribe_and_align
-        result_probe = asr.transcribe(args.audio, tp)
-        if not result_probe.success:
-            _eprint(f"Error (ASR): {result_probe.error_msg}")
+        combined = transcribe_and_align(
+            asr, aligner, args.audio, tp, language_override=args.language,
+        )
+        if not combined.success:
+            _eprint(f"Error: {combined.error_msg}")
             return 1
-        detected = detect_language(result_probe.text)
-        align_lang = args.language or detected
-        if align_lang == "korean":
-            dict_path = find_korean_dict(args.aligner_model)
-            if not dict_path:
-                _eprint("Warning: Korean dictionary not found. "
-                        "Falling back to whitespace splitting.")
-            elif not aligner.load_korean_dict(dict_path):
-                _eprint(f"Warning: Failed to load Korean dictionary from {dict_path}")
-
-        from qwen3_asr_tpu.text import extract_transcript
-        transcript = extract_transcript(result_probe.text)
-        _eprint(f"  Detected language: {detected or '(none)'}")
-        _eprint(f"  Transcript: {transcript}")
-
-        align_result = aligner.align(args.audio, transcript, align_lang)
-        if not align_result.success:
-            _eprint(f"Error (Aligner): {align_result.error_msg}")
-            return 1
+        _eprint(f"  Detected language: {combined.detected_language or '(none)'}")
+        _eprint(f"  Transcript: {combined.transcript}")
 
         if args.print_timing:
+            asr_ms = combined.asr.t_total_ms
+            align_ms = combined.alignment.t_total_ms
             _eprint(
                 f"\nCombined Timing:\n"
-                f"  ASR:           {result_probe.t_total_ms:.0f} ms\n"
-                f"  Alignment:     {align_result.t_total_ms:.0f} ms\n"
-                f"  Total:         {result_probe.t_total_ms + align_result.t_total_ms:.0f} ms\n"
-                f"  Words aligned: {len(align_result.words)}"
+                f"  ASR:           {asr_ms:.0f} ms\n"
+                f"  Alignment:     {align_ms:.0f} ms\n"
+                f"  Total:         {asr_ms + align_ms:.0f} ms\n"
+                f"  Words aligned: {len(combined.alignment.words)}"
             )
-        rc = _write_output(alignment_to_json(align_result), args.output)
+        rc = _write_output(alignment_to_json(combined.alignment), args.output)
         maybe_profile()
         return rc
 
@@ -209,7 +201,11 @@ def main(argv: list[str] | None = None) -> int:
                 _eprint(f"Warning: Failed to load Korean dictionary from {dict_path}")
 
         _eprint("Model loaded. Running alignment...")
-        result = aligner.align(args.audio, args.align_text, args.language)
+        result = aligner.align(
+            args.audio, args.align_text, args.language,
+            mel_bucket=args.mel_bucket,
+            fused=args.fused and args.mel_bucket == 0,
+        )
         if not result.success:
             _eprint(f"Error: {result.error_msg}")
             return 1
@@ -232,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
     _eprint(f"  Audio: {args.audio}")
     _eprint(f"  Threads: {args.threads}\n")
 
-    asr = Qwen3ASR(dtype=dtype, quantize=args.quantize)
+    asr = Qwen3ASR(dtype=dtype, quantize=quantize)
     if not asr.load_model(args.model):
         _eprint(f"Error: {asr.error_msg}")
         return 1

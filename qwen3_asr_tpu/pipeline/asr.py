@@ -71,9 +71,10 @@ class Qwen3ASR:
     def __init__(self, dtype=jnp.bfloat16, quantize=False):
         self.dtype = dtype
         # quantize: False (dense), True/"q8_0" (GGUF Q8_0 semantics, Pallas
-        # dequant kernels — BASELINE.json config 4), or "int8pc"
-        # (per-channel W8A8 on the int8 MXU path). Both halve the HBM
-        # weight traffic that bounds decode speed.
+        # dequant kernels — BASELINE.json config 4), "int8pc" (per-channel
+        # W8A8 on the int8 MXU path), or "auto" (int8pc for dense weights,
+        # no-op when the GGUF already ships int8 blocks). Both int8 modes
+        # halve the HBM weight traffic that bounds decode speed.
         self.quantize = "q8_0" if quantize is True else quantize
         self.cfg: ASRModelConfig | None = None
         self.params = None
@@ -91,11 +92,12 @@ class Qwen3ASR:
             )
             self.tokenizer = BPETokenizer(vocab, merges)
             self.mel_filters = generate_mel_filters()
-            if self.quantize:
+            quantize = self._resolve_quantize()
+            if quantize:
                 from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
                 self.params["decoder"] = quantize_decoder_params(
-                    self.params["decoder"], self.quantize
+                    self.params["decoder"], quantize
                 )
             from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
@@ -116,11 +118,12 @@ class Qwen3ASR:
         """Synthetic weights (benchmarks / tests without model files)."""
         self.cfg = cfg
         self.params = init_asr_params(cfg, seed, self.dtype)
-        if self.quantize:
+        quantize = self._resolve_quantize()
+        if quantize:
             from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
             self.params["decoder"] = quantize_decoder_params(
-                self.params["decoder"], self.quantize
+                self.params["decoder"], quantize
             )
         from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
@@ -130,6 +133,17 @@ class Qwen3ASR:
 
     def set_progress_callback(self, cb: Callable[[int, int], None]) -> None:
         self._progress_cb = cb
+
+    def _resolve_quantize(self) -> str:
+        """'auto' -> int8pc for dense weights, no-op when the GGUF already
+        shipped int8 blocks (quantized leaves are dicts)."""
+        if self.quantize != "auto":
+            return self.quantize or ""
+        from qwen3_asr_tpu.runtime.params import _DEC_QUANT_KEYS
+
+        layers = self.params["decoder"]["layers"]
+        already = any(isinstance(layers.get(k), dict) for k in _DEC_QUANT_KEYS)
+        return "" if already else "int8pc"
 
     def _cache_dtype(self):
         # bf16 cache measured FASTER than int8 even in the int8 decode
@@ -169,7 +183,8 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
-        if params.fused and not (self._progress_cb or params.print_progress):
+        if (params.fused and params.mel_bucket == 0
+                and not (self._progress_cb or params.print_progress)):
             from qwen3_asr_tpu.models.e2e import transcribe_fused
 
             sys_tokens = (self.tokenizer.encode(params.system_prompt)

@@ -27,7 +27,11 @@ def transcribe_and_align(
     language_override: str = "",
 ) -> TranscribeAlignResult:
     """ASR -> language detection from the 'language Xxx' prefix ->
-    transcript extraction -> forced alignment with the detected language."""
+    transcript extraction -> forced alignment with the detected language.
+
+    When the align language resolves to Korean and the aligner has no
+    dictionary yet, the vendored asset is located and loaded automatically
+    (reference: main.cpp:457-469 does this in the combined driver)."""
     out = TranscribeAlignResult()
 
     asr_result = asr.transcribe(audio, params)
@@ -42,9 +46,25 @@ def transcribe_and_align(
     out.detected_language = detected
     out.transcript = transcript
 
+    if align_lang == "korean" and not aligner.ko_dict:
+        import sys
+
+        from qwen3_asr_tpu.text.korean import find_korean_dict
+
+        dict_path = find_korean_dict()
+        if not dict_path:
+            print("Warning: Korean dictionary not found. "
+                  "Falling back to whitespace splitting.",
+                  file=sys.stderr, flush=True)
+        elif not aligner.load_korean_dict(dict_path):
+            print(f"Warning: Failed to load Korean dictionary from {dict_path}",
+                  file=sys.stderr, flush=True)
+
+    mel_bucket = params.mel_bucket if params else 0
     align_result = aligner.align(
         audio, transcript, align_lang,
-        mel_bucket=params.mel_bucket if params else 0,
+        mel_bucket=mel_bucket,
+        fused=(params.fused if params else False) and mel_bucket == 0,
     )
     out.alignment = align_result
     if not align_result.success:

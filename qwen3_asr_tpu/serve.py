@@ -15,9 +15,16 @@ Design:
   contention, no locks around the runtime.
 - `serve_http()`: minimal stdlib HTTP front-end —
     POST /v1/transcribe  (body: 16 kHz mono WAV bytes) -> {"text": ...}
+    POST /v1/align       (multipart fields audio+text[+language], or JSON
+                          {"audio_b64", "text", "language"}) -> {"words": ...}
     GET  /healthz        -> {"status": "ok", ...}
   Handler threads only parse bytes and wait on futures; all device work
-  stays on the worker thread.
+  stays on the worker thread. Align text rides the request BODY (UTF-8):
+  HTTP headers are latin-1, so Korean — the flagship language — cannot
+  ride a header; the X-Align-Text header remains only as an ASCII legacy.
+  Concurrent align requests batch into ONE ForcedAligner.align_batch
+  dispatch, and mixed ASR+align traffic doesn't break batches (other-kind
+  arrivals are stashed for the next round, not requeued).
 
 Latency/throughput knobs: `max_batch` (device batch), `max_wait_ms`
 (batching window), `TranscribeParams.prompt_bucket` (shape-bucket
@@ -27,11 +34,13 @@ granularity = number of distinct compiled programs).
 from __future__ import annotations
 
 import argparse
+import base64
 import json
 import queue
 import sys
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
 
@@ -47,6 +56,7 @@ class _Request:
     samples: np.ndarray
     future: Future
     align_text: str | None = None  # set: forced-alignment request
+    language: str = ""
 
 
 class ASRServer:
@@ -70,6 +80,7 @@ class ASRServer:
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: queue.Queue = queue.Queue()
+        self._pending: deque = deque()  # worker-thread only
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -88,12 +99,15 @@ class ASRServer:
     def transcribe(self, samples: np.ndarray):
         return self.submit(samples).result()
 
-    def submit_align(self, samples: np.ndarray, text: str) -> Future:
+    def submit_align(self, samples: np.ndarray, text: str,
+                     language: str = "") -> Future:
         """Enqueue a forced-alignment request -> Future of AlignmentResult.
         Runs on the same dispatch thread as transcription (one device
-        owner); alignment is a single NAR pass, so it is not batched."""
+        owner); concurrent align requests batch into one
+        `ForcedAligner.align_batch` NAR dispatch."""
         fut: Future = Future()
-        self._queue.put(_Request(np.asarray(samples), fut, align_text=text))
+        self._queue.put(_Request(np.asarray(samples), fut, align_text=text,
+                                 language=language))
         return fut
 
     def warmup(self, seconds: tuple = (5, 15, 30)) -> None:
@@ -118,15 +132,29 @@ class ASRServer:
     # -- worker side ---------------------------------------------------------
 
     def _collect(self) -> list[_Request]:
-        """Block for the first request, then batch whatever arrives within
-        the window (up to max_batch). Alignment requests are returned
-        alone; a queued alignment ends an ASR batch early (requeued)."""
-        first = self._queue.get()
-        if first is None:
-            return []
-        if first.align_text is not None:
-            return [first]
+        """Block for the first request, then batch same-kind requests
+        arriving within the window (up to max_batch). Mixed workloads don't
+        break batches: other-kind requests are stashed and form the next
+        round's batch, so N concurrent aligns run as ONE align_batch
+        dispatch even while ASR traffic flows."""
+        if self._pending:
+            first = self._pending.popleft()
+        else:
+            first = self._queue.get()
+            if first is None:
+                return []
+        is_align = first.align_text is not None
         batch = [first]
+
+        # same-kind requests stashed in earlier rounds go first
+        i = 0
+        while i < len(self._pending) and len(batch) < self.max_batch:
+            if (self._pending[i].align_text is not None) == is_align:
+                batch.append(self._pending[i])
+                del self._pending[i]
+            else:
+                i += 1
+
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
         while len(batch) < self.max_batch:
             timeout = deadline - time.perf_counter()
@@ -138,9 +166,9 @@ class ASRServer:
                 break
             if req is None:
                 break
-            if req.align_text is not None:
-                self._queue.put(req)  # handled in its own round
-                break
+            if (req.align_text is not None) != is_align:
+                self._pending.append(req)  # next round's batch
+                continue
             batch.append(req)
         return batch
 
@@ -151,9 +179,7 @@ class ASRServer:
                 continue
             try:
                 if batch[0].align_text is not None:
-                    results = [self.aligner.align(
-                        batch[0].samples, batch[0].align_text,
-                        mel_bucket=self.params.mel_bucket)]
+                    results = self._run_align(batch)
                 elif len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
                 else:
@@ -176,10 +202,87 @@ class ASRServer:
             self.n_served += len(batch)
             self.n_batches += 1
 
+    def _run_align(self, batch: list[_Request]) -> list:
+        """One align_batch dispatch per language group (usually one)."""
+        results: list = [None] * len(batch)
+        groups: dict[str, list[int]] = {}
+        for i, req in enumerate(batch):
+            groups.setdefault(req.language, []).append(i)
+        for language, idxs in groups.items():
+            outs = self.aligner.align_batch(
+                [batch[i].samples for i in idxs],
+                [batch[i].align_text for i in idxs],
+                language=language,
+                mel_bucket=self.params.mel_bucket or 500,
+            )
+            for i, out in zip(idxs, outs):
+                results[i] = out
+        return results
+
 
 # ---------------------------------------------------------------------------
 # HTTP front-end (stdlib only)
 # ---------------------------------------------------------------------------
+
+def _parse_multipart(data: bytes, content_type: str) -> dict[str, bytes]:
+    """Minimal multipart/form-data parser: {field name: raw bytes}."""
+    boundary = ""
+    for token in content_type.split(";"):
+        token = token.strip()
+        if token.startswith("boundary="):
+            boundary = token[len("boundary="):].strip('"')
+    if not boundary:
+        raise ValueError("multipart body without boundary")
+    delim = b"--" + boundary.encode()
+    fields: dict[str, bytes] = {}
+    for part in data.split(delim):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        head, sep, body = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        name = ""
+        for line in head.split(b"\r\n"):
+            low = line.lower()
+            if low.startswith(b"content-disposition") and b"name=" in low:
+                raw = line.split(b"name=", 1)[1].split(b";")[0].strip(b'" ')
+                name = raw.decode("utf-8", "replace")
+        if name:
+            fields[name] = body
+    return fields
+
+
+def _parse_align_request(headers, body: bytes):
+    """-> (wav_bytes, text, language). Transports, in preference order:
+
+    - multipart/form-data: fields `audio` (WAV bytes), `text` (UTF-8),
+      optional `language`
+    - application/json: {"audio_b64": <base64 WAV>, "text": ...,
+      "language": ...}
+    - legacy: raw WAV body + X-Align-Text header (latin-1 only — HTTP
+      headers can't carry Korean text; prefer the body transports)
+    """
+    ctype = headers.get("Content-Type", "")
+    if ctype.startswith("multipart/form-data"):
+        fields = _parse_multipart(body, ctype)
+        if "audio" not in fields or "text" not in fields:
+            raise ValueError("multipart fields 'audio' and 'text' required")
+        return (fields["audio"], fields["text"].decode("utf-8"),
+                fields.get("language", b"").decode("utf-8"))
+    if ctype.startswith("application/json"):
+        req = json.loads(body.decode("utf-8"))
+        if "audio_b64" not in req or "text" not in req:
+            raise ValueError("JSON fields 'audio_b64' and 'text' required")
+        return (base64.b64decode(req["audio_b64"]), req["text"],
+                req.get("language", ""))
+    text = headers.get("X-Align-Text", "")
+    if not text:
+        raise ValueError(
+            "align request needs multipart (audio+text fields), JSON "
+            "(audio_b64+text), or the legacy X-Align-Text header")
+    return body, text, headers.get("X-Align-Language", "")
+
 
 def _make_handler(server: ASRServer):
     from http.server import BaseHTTPRequestHandler
@@ -188,9 +291,9 @@ def _make_handler(server: ASRServer):
         protocol_version = "HTTP/1.1"
 
         def _reply(self, code: int, payload: dict):
-            body = json.dumps(payload).encode()
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", "application/json; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -212,23 +315,20 @@ def _make_handler(server: ASRServer):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 data = self.rfile.read(length)
-                samples, sr = load_wav_bytes(data, raw_int16=True)
-                if sr != SAMPLE_RATE:
-                    self._reply(400, {"error": f"Audio must be 16kHz, got {sr} Hz"})
-                    return
                 t0 = time.perf_counter()
                 if self.path == "/v1/align":
-                    # reference transcript via the X-Align-Text header
-                    # (body carries the WAV bytes)
-                    text = self.headers.get("X-Align-Text", "")
-                    if not text:
-                        self._reply(400,
-                                    {"error": "X-Align-Text header required"})
-                        return
                     if server.aligner is None:
                         self._reply(400, {"error": "no aligner model loaded"})
                         return
-                    result = server.submit_align(samples, text).result()
+                    wav, text, language = _parse_align_request(
+                        self.headers, data)
+                    samples, sr = load_wav_bytes(wav, raw_int16=True)
+                    if sr != SAMPLE_RATE:
+                        self._reply(400, {
+                            "error": f"Audio must be 16kHz, got {sr} Hz"})
+                        return
+                    result = server.submit_align(
+                        samples, text, language).result()
                     if not result.success:
                         self._reply(500, {"error": result.error_msg})
                         return
@@ -237,6 +337,10 @@ def _make_handler(server: ASRServer):
                                    "end": w.end} for w in result.words],
                         "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
                     })
+                    return
+                samples, sr = load_wav_bytes(data, raw_int16=True)
+                if sr != SAMPLE_RATE:
+                    self._reply(400, {"error": f"Audio must be 16kHz, got {sr} Hz"})
                     return
                 result = server.submit(samples).result()
                 if not result.success:
@@ -272,31 +376,39 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-tokens", type=int, default=1024)
-    p.add_argument("--quantize", default="", choices=["", "q8_0", "int8pc"],
+    p.add_argument("--quantize", default="auto",
+                   choices=["auto", "none", "q8_0", "int8pc"],
                    help="int8 decode path: q8_0 (Pallas dequant kernels) or "
-                        "int8pc (per-channel W8A8 on the int8 MXU)")
+                        "int8pc (per-channel W8A8 on the int8 MXU); auto = "
+                        "int8pc for dense GGUFs")
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
     p.add_argument("--aligner-model", default="",
                    help="forced-aligner GGUF: enables POST /v1/align "
-                        "(X-Align-Text header + WAV body)")
+                        "(multipart audio+text, JSON audio_b64+text, or "
+                        "legacy WAV body + X-Align-Text header)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
-    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=args.quantize)
+    asr = Qwen3ASR(dtype=jnp.bfloat16,
+                   quantize="" if args.quantize == "none" else args.quantize)
     if not asr.load_model(args.model):
         print(f"Error: {asr.error_msg}", file=sys.stderr)
         return 1
     aligner = None
     if args.aligner_model:
         from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+        from qwen3_asr_tpu.text.korean import find_korean_dict
 
         aligner = ForcedAligner(dtype=jnp.bfloat16)
         if not aligner.load_model(args.aligner_model):
             print(f"Error (aligner): {aligner.error_msg}", file=sys.stderr)
             return 1
+        dict_path = find_korean_dict(args.aligner_model)
+        if dict_path:  # language=korean requests get dictionary splitting
+            aligner.load_korean_dict(dict_path)
     server = ASRServer(
         asr,
         TranscribeParams(max_tokens=args.max_tokens, print_timing=False,

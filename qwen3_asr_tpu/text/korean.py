@@ -7,10 +7,41 @@ split the word into (prefix, remainder). Mirrors forced_aligner.cpp:1485-1562.
 
 from __future__ import annotations
 
+import os
+
+# Asset filenames accepted, in preference order: the vendored words-only
+# snapshot (assets/korean_words.txt, regenerable via
+# tools/make_korean_dict.py) and the reference's jieba-format name.
+_DICT_NAMES = ("korean_words.txt", "korean_dict_jieba.dict")
+
+# repo/package-level assets dir (…/qwen3_asr_tpu/../assets)
+_PKG_ASSETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets",
+)
+
+
+def find_korean_dict(model_path: str = "") -> str:
+    """Locate the Korean dictionary: next to the model, in ./assets, then in
+    the package's vendored assets (search order mirrors main.cpp:275-292,
+    extended with the vendored snapshot so it works from any CWD)."""
+    dirs = []
+    if model_path:
+        d = os.path.dirname(model_path) or "."
+        dirs += [os.path.join(d, "..", "assets"), os.path.join(d, "assets")]
+    dirs += ["assets", _PKG_ASSETS]
+    for directory in dirs:
+        for name in _DICT_NAMES:
+            cand = os.path.join(directory, name)
+            if os.path.isfile(cand):
+                return cand
+    return ""
+
 
 def load_korean_dict(path: str) -> set[str]:
-    """Load 'word freq tag' lines; only the word column is used
-    (forced_aligner.cpp:1543-1562)."""
+    """Load dictionary words. Accepts both the jieba 'word freq tag' format
+    (only the word column is used, forced_aligner.cpp:1543-1562) and the
+    vendored words-only format (one word per line)."""
     words: set[str] = set()
     with open(path, "r", encoding="utf-8") as f:
         for line in f:

@@ -87,6 +87,28 @@ def test_align_mode_json_output(tmp_path, capsys):
         assert set(w) == {"word", "start", "end"}
 
 
+def test_transcribe_align_mode(tmp_path, capsys):
+    """CLI -a/--transcribe-align runs both models through the shared
+    pipeline.combined.transcribe_and_align and emits alignment JSON."""
+    asr_path, fa_path = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    rc = main(["-m", asr_path, "--aligner-model", fa_path, "-f", wav,
+               "--transcribe-align", "--max-tokens", "4",
+               "--dtype", "float32"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    data = json.loads(captured.out)
+    assert "words" in data
+    for w in data["words"]:
+        assert set(w) == {"word", "start", "end"}
+    # combined timing block goes to stderr, not stdout
+    assert "Combined Timing" in captured.err
+    assert "Combined Timing" not in captured.out
+
+
 def test_find_korean_dict(tmp_path):
     model_dir = tmp_path / "models"
     assets = tmp_path / "assets"
@@ -95,3 +117,26 @@ def test_find_korean_dict(tmp_path):
     (assets / "korean_dict_jieba.dict").write_text("word 1 N\n")
     found = find_korean_dict(str(model_dir / "m.gguf"))
     assert found.endswith("korean_dict_jieba.dict")
+
+
+def test_find_korean_dict_vendored():
+    # with no model-side dict, the vendored assets/korean_words.txt is found
+    found = find_korean_dict("/nonexistent/dir/model.gguf")
+    assert found.endswith("korean_words.txt")
+    assert os.path.isfile(found)
+
+
+def test_align_mode_korean_dict_loads(tmp_path, capsys):
+    """-l korean wires the vendored dictionary into the aligner."""
+    _, fa_path = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    rc = main(["-m", fa_path, "-f", wav, "--align", "--text", "안녕하세요",
+               "-l", "korean", "--dtype", "float32", "--no-timing"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Korean dictionary loaded" in captured.err
+    data = json.loads(captured.out)
+    assert len(data["words"]) >= 1

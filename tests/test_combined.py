@@ -44,6 +44,29 @@ def test_combined_pipeline(rng):
         assert set(w) == {"word", "start", "end"}
 
 
+def test_combined_korean_dict_autoload(rng):
+    """language_override='korean' auto-loads the vendored dictionary into
+    the aligner inside transcribe_and_align."""
+    asr_cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.float32)
+    asr.load_random(asr_cfg, seed=31,
+                    vocab=make_byte_vocab(asr_cfg.decoder.vocab_size, {}))
+    fa_cfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(fa_cfg, seed=32,
+                   vocab=make_byte_vocab(fa_cfg.decoder.vocab_size, {}))
+
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32)
+    assert not fa.ko_dict
+    out = transcribe_and_align(asr, fa, audio, params,
+                               language_override="korean")
+    assert out.success, out.error_msg
+    assert len(fa.ko_dict) > 15000  # vendored assets/korean_words.txt
+
+
 def test_alignment_json_escaping():
     from qwen3_asr_tpu.pipeline.aligner import AlignedWord, AlignmentResult
 

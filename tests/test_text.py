@@ -147,6 +147,23 @@ def test_korean_splitter():
     assert tokenize_korean("가나다라", ko) == ["가나다라"]
 
 
+def test_korean_vendored_dict():
+    """find -> load -> tokenize through the vendored words-only asset."""
+    from qwen3_asr_tpu.text.korean import find_korean_dict, load_korean_dict
+
+    path = find_korean_dict()
+    assert path.endswith("korean_words.txt")
+    ko = load_korean_dict(path)
+    assert len(ko) > 15000
+    assert "힙합" in ko  # real dictionary content, not a placeholder
+    # pick a 2-char dictionary word whose 3-char extension is NOT a dict
+    # word: the splitter must cut exactly after the dictionary hit
+    word = next(w for w in sorted(ko)
+                if len(w) == 2 and "가" <= w[0] <= "힣"
+                and (w + "게") not in ko)
+    assert tokenize_korean(word + "게", ko) == [word, "게"]
+
+
 # -- timestamps ---------------------------------------------------------------
 
 def test_feat_extract_output_lengths():
