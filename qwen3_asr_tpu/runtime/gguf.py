@@ -265,6 +265,9 @@ class GGUFWriter:
     def add_str_array(self, key: str, values: list[str]):
         self.kv.append((key, _ARR, (_STR, values)))
 
+    def add_i32_array(self, key: str, values: list[int]):
+        self.kv.append((key, _ARR, (_I32, [int(v) for v in values])))
+
     def add_f32(self, key: str, value: float):
         self.add(key, float(value), _F32)
 

@@ -30,6 +30,8 @@ def levenshtein(a: list, b: list) -> int:
 
 
 def word_error_rate(ref: str, hyp: str) -> float:
+    if not ref.split():  # degenerate: jiwer raises on an empty reference
+        return 0.0 if not hyp.split() else 1.0
     try:
         import jiwer
         return float(jiwer.wer(ref, hyp))
@@ -39,6 +41,8 @@ def word_error_rate(ref: str, hyp: str) -> float:
 
 
 def char_error_rate(ref: str, hyp: str) -> float:
+    if not ref.replace(" ", ""):
+        return 0.0 if not hyp.replace(" ", "") else 1.0
     try:
         import jiwer
         return float(jiwer.cer(ref, hyp))

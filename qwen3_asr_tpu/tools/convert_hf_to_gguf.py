@@ -128,12 +128,27 @@ def iter_safetensors(input_dir: Path):
                 yield name, f.get_tensor(name)
 
 
+# gguf token types (gguf-py TokenType values; reference converter :330-342)
+TOKTYPE_NORMAL = 1
+TOKTYPE_CONTROL = 3
+TOKTYPE_UNUSED = 5
+
+
 def load_tokenizer(input_dir: Path, vocab_size: int):
+    """-> (tokens, toktypes, merges) with the reference's control-token
+    typing: <|...|> tokens are CONTROL, [PADn] vocab fill is UNUSED
+    (reference converter :313-353)."""
     with open(input_dir / "vocab.json", encoding="utf-8") as f:
         vocab_dict = json.load(f)
     tokens = [t for t, _ in sorted(vocab_dict.items(), key=lambda x: x[1])]
+    toktypes = [
+        TOKTYPE_CONTROL if t.startswith("<|") and t.endswith("|>")
+        else TOKTYPE_NORMAL
+        for t in tokens
+    ]
     while len(tokens) < vocab_size:
         tokens.append(f"[PAD{len(tokens)}]")
+        toktypes.append(TOKTYPE_UNUSED)
     merges = []
     merges_path = input_dir / "merges.txt"
     if merges_path.exists():
@@ -142,7 +157,41 @@ def load_tokenizer(input_dir: Path, vocab_size: int):
                 line = line.strip()
                 if line and not line.startswith("#"):
                     merges.append(line)
-    return tokens, merges
+    return tokens, toktypes, merges
+
+
+def _special_token_kv(input_dir: Path) -> dict:
+    """EOS/PAD ids + chat template from tokenizer_config.json (reference
+    converter :476-511)."""
+    out: dict = {}
+    cfg_path = input_dir / "tokenizer_config.json"
+    if not cfg_path.exists():
+        return out
+    with open(cfg_path, encoding="utf-8") as f:
+        tok_cfg = json.load(f)
+    vocab = None
+
+    def token_id(key):
+        nonlocal vocab
+        tok = tok_cfg.get(key)
+        if isinstance(tok, dict):
+            tok = tok.get("content")
+        if not tok:
+            return None
+        if vocab is None:
+            with open(input_dir / "vocab.json", encoding="utf-8") as f:
+                vocab = json.load(f)
+        return vocab.get(tok)
+
+    eos = token_id("eos_token")
+    if eos is not None:
+        out["tokenizer.ggml.eos_token_id"] = eos
+    pad = token_id("pad_token")
+    if pad is not None:
+        out["tokenizer.ggml.padding_token_id"] = pad
+    if tok_cfg.get("chat_template"):
+        out["tokenizer.chat_template"] = tok_cfg["chat_template"]
+    return out
 
 
 def convert(input_dir: Path, output_path: Path, output_type: str) -> None:
@@ -189,12 +238,15 @@ def convert(input_dir: Path, output_path: Path, output_type: str) -> None:
                   config.get("timestamp_token_id", 151705))
         w.add_u32("qwen3-asr.timestamp_segment_time", 80)
 
-    tokens, merges = load_tokenizer(input_dir, vocab_size)
+    tokens, toktypes, merges = load_tokenizer(input_dir, vocab_size)
     w.add("tokenizer.ggml.model", "gpt2")
     w.add("tokenizer.ggml.pre", "qwen2")
     w.add_str_array("tokenizer.ggml.tokens", tokens)
+    w.add_i32_array("tokenizer.ggml.token_type", toktypes)
     if merges:
         w.add_str_array("tokenizer.ggml.merges", merges)
+    for key, value in _special_token_kv(input_dir).items():
+        w.add(key, value)
 
     count = skipped = 0
     for hf_name, data in iter_safetensors(input_dir):

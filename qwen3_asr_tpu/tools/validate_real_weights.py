@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""One-command real-checkpoint validation against the reference contract.
+
+Given the real HuggingFace Qwen3-ASR-0.6B checkpoint (and optionally the
+ForcedAligner), this runs the full gate the reference test harness defines
+(tests/generate_reference.py:51-126, run_all_tests.sh:100-183):
+
+  1. convert HF -> GGUF (tools/convert_hf_to_gguf, incl. token_type
+     metadata so the file also loads in the reference C++ binary),
+  2. load the GGUF and dump mel / audio_features / decoder_logits /
+     layer-0 intermediates (tools/dump_intermediates) for the reference's
+     fixed golden token sequence [151669, 151676x3, 151670],
+  3. compare against HF-derived goldens at the reference tolerances:
+     mel @ 1e-4, encoder @ 2e-2, decoder logits @ 1e-2,
+  4. transcribe the sample clip end-to-end and gate WER against the
+     golden transcript (tools/compute_wer; exact-match reported too).
+
+Goldens are the npy artifacts produced by the reference's
+tests/generate_reference.py + generate_decoder_reference.py (or any
+directory with mel.npy / audio_features.npy / decoder_logits.npy /
+transcript.txt). This sandbox has no model weights or network egress, so
+the command cannot run here — it is the documented, tested-on-synthetic
+recipe for the first environment that has the real checkpoint:
+
+  python -m qwen3_asr_tpu.tools.validate_real_weights \
+      --hf-dir /path/to/Qwen3-ASR-0.6B \
+      --goldens /path/to/tests/reference \
+      --audio /path/to/sample.wav \
+      --workdir /tmp/validate
+
+Exit code 0 = every gate passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+# reference tolerances (run_all_tests.sh:100-183)
+GATES = (
+    ("mel.npy", 1e-4),
+    ("audio_features.npy", 2e-2),
+    ("decoder_logits.npy", 1e-2),
+)
+WER_THRESHOLD = 0.05  # run_all_tests.sh WER gate
+
+
+def _run(desc: str, argv: list[str]) -> bool:
+    print(f"== {desc}: {' '.join(argv)}", file=sys.stderr, flush=True)
+    rc = subprocess.run([sys.executable, "-m"] + argv).returncode
+    status = "OK" if rc == 0 else f"FAIL (rc={rc})"
+    print(f"== {desc}: {status}", file=sys.stderr, flush=True)
+    return rc == 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+    )
+    p.add_argument("--hf-dir", required=True, type=Path,
+                   help="HF Qwen3-ASR checkpoint (config.json + safetensors)")
+    p.add_argument("--goldens", required=True, type=Path,
+                   help="directory with mel.npy / audio_features.npy / "
+                        "decoder_logits.npy / transcript.txt from the "
+                        "reference golden generators")
+    p.add_argument("--audio", required=True, type=Path,
+                   help="the reference sample clip (16 kHz mono WAV)")
+    p.add_argument("--workdir", required=True, type=Path)
+    p.add_argument("--type", default="f16", choices=["f16", "f32", "q8_0"])
+    p.add_argument("--platform", default="",
+                   help="JAX platform override (e.g. cpu)")
+    p.add_argument("--max-tokens", type=int, default=1024,
+                   help="decode budget for the end-to-end transcription")
+    args = p.parse_args(argv)
+
+    args.workdir.mkdir(parents=True, exist_ok=True)
+    gguf = args.workdir / f"qwen3-asr-{args.type}.gguf"
+    dumps = args.workdir / "intermediates"
+    results: dict[str, bool] = {}
+
+    # 1. convert
+    results["convert"] = _run("convert HF -> GGUF", [
+        "qwen3_asr_tpu.tools.convert_hf_to_gguf",
+        "-i", str(args.hf_dir), "-o", str(gguf), "-t", args.type,
+    ])
+    if not results["convert"]:
+        print(json.dumps({"passed": False, "results": results}))
+        return 1
+
+    # 2. dump intermediates (golden token sequence is the tool's default)
+    dump_args = ["qwen3_asr_tpu.tools.dump_intermediates",
+                 "-m", str(gguf), "-f", str(args.audio), "-o", str(dumps)]
+    if args.platform:
+        dump_args += ["--platform", args.platform]
+    results["dump"] = _run("dump intermediates", dump_args)
+
+    # 3. tolerance gates
+    for name, atol in GATES:
+        golden = args.goldens / name
+        ours = dumps / name
+        if not golden.exists():
+            print(f"== {name}: golden missing, SKIP", file=sys.stderr)
+            continue
+        results[name] = _run(f"compare {name} @ {atol}", [
+            "qwen3_asr_tpu.tools.compare",
+            str(ours), str(golden), "--atol", str(atol),
+        ])
+
+    # 4. end-to-end transcript + WER
+    hyp = args.workdir / "transcript.txt"
+    cli = ["qwen3_asr_tpu.cli", "-m", str(gguf), "-f", str(args.audio),
+           "--no-timing", "--max-tokens", str(args.max_tokens),
+           "-o", str(hyp)]
+    if args.platform:
+        cli += ["--platform", args.platform]
+    results["transcribe"] = _run("end-to-end transcription", cli)
+    golden_txt = args.goldens / "transcript.txt"
+    if golden_txt.exists() and results["transcribe"]:
+        ref_raw = golden_txt.read_text(encoding="utf-8").strip()
+        hyp_raw = hyp.read_text(encoding="utf-8").strip()
+        results["transcript_exact"] = hyp_raw == ref_raw
+        print(f"== transcript exact match: {results['transcript_exact']}",
+              file=sys.stderr)
+        results["wer"] = _run(f"WER gate @ {WER_THRESHOLD}", [
+            "qwen3_asr_tpu.tools.compute_wer",
+            "--ref", str(golden_txt), "--hyp", str(hyp),
+            "--threshold", str(WER_THRESHOLD),
+        ])
+
+    passed = all(results.values())
+    print(json.dumps({"passed": passed, "results": results}))
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

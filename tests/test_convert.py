@@ -138,6 +138,43 @@ def test_convert_roundtrip_exact(tmp_path, rng):
                     err_msg=f"{side}.{key}")
 
 
+def test_convert_tokenizer_metadata(tmp_path, rng):
+    """token_type + special-token/chat-template keys: the reference
+    converter writes control-token typing (:462-512); files must carry the
+    same on-disk tokenizer contract to load in the reference binary."""
+    from qwen3_asr_tpu.runtime.gguf import GGUFFile
+
+    cfg = tiny_asr_config()
+    params = jax.tree.map(np.asarray, init_asr_params(cfg, 29, jnp.float32))
+    _hf_checkpoint(tmp_path, cfg, params)
+
+    # short vocab (forces [PADn]/UNUSED fill) with a control token
+    n_short = cfg.decoder.vocab_size - 3
+    vocab = make_byte_vocab(n_short, {0: "<|im_end|>", 1: "<|audio_pad|>"})
+    (tmp_path / "vocab.json").write_text(
+        json.dumps({tok: i for i, tok in enumerate(vocab)}))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({
+        "eos_token": {"content": "<|im_end|>"},
+        "pad_token": "<|audio_pad|>",
+        "chat_template": "{{ messages }}",
+    }))
+
+    out = tmp_path / "m.gguf"
+    convert(tmp_path, out, "f32")
+    g = GGUFFile(str(out))
+    md = g.metadata
+    types = md["tokenizer.ggml.token_type"]
+    tokens = md["tokenizer.ggml.tokens"]
+    assert len(types) == len(tokens) == cfg.decoder.vocab_size
+    assert types[0] == 3 and types[1] == 3          # CONTROL <|...|>
+    assert types[2] == 1                            # NORMAL
+    assert types[-1] == 5                           # UNUSED [PADn] fill
+    assert tokens[-1] == f"[PAD{cfg.decoder.vocab_size - 1}]"
+    assert md["tokenizer.ggml.eos_token_id"] == 0
+    assert md["tokenizer.ggml.padding_token_id"] == 1
+    assert md["tokenizer.chat_template"] == "{{ messages }}"
+
+
 def test_convert_forced_aligner(tmp_path, rng):
     """FA variant: classify head + FA metadata keys survive the round trip
     and load as an aligner model."""
