@@ -54,8 +54,9 @@ def _dec_layer_specs() -> dict:
         "w_up": P(None, None, "tp"),
         "w_down": P(None, "tp", None),
         # fused single-chip leaves (fuse_decoder_params): tp-sharding their
-        # out dim would cut Q from K/V mid-matrix, so they replicate. For
-        # tp > 1, shard the UNFUSED tree (fusion is the single-chip layout).
+        # out dim would cut Q from K/V mid-matrix. shard_decoder_params
+        # auto-unfuses them for tp > 1; these specs only apply at tp == 1,
+        # where P() is exact (no tp axis to shard over).
         "wqkv": P(),
         "w_gate_up": P(),
     }
@@ -65,12 +66,30 @@ def decoder_param_specs(params: dict) -> dict:
     specs = {
         "token_embd": P(),
         "output_norm": P(),
+        # int8pc lm head: the int8 copy of the tied head, read in full
+        # every step — shard the vocab dim (argmax reduces over it; XLA
+        # inserts the cross-shard argmax collective)
+        "lm_head_pc": P(None, "tp"),
         "layers": _dec_layer_specs(),
     }
     if "classify_w" in params:
         specs["classify_w"] = P(None, "tp")
         specs["classify_b"] = None if params.get("classify_b") is None else P("tp")
     return specs
+
+
+def _quant_leaf_spec(wspec: P, leaf_key: str) -> P:
+    """Spec for one subleaf of a quantized weight dict, derived from the
+    weight's own spec over [..., in, out]:
+
+      *:q     [..., in, out]      -> the weight spec itself
+      q8:s    [..., in//32, out]  -> same rank, same spec
+      i8pc:s  [..., out]          -> weight spec minus the `in` axis
+    """
+    if leaf_key == "i8pc:s":
+        axes = list(wspec)
+        return P(*(axes[:-2] + axes[-1:]))
+    return wspec
 
 
 def encoder_param_specs(params: dict) -> dict:
@@ -95,22 +114,54 @@ def encoder_param_specs(params: dict) -> dict:
 
 def _shard(params: dict, specs: dict, mesh: Mesh) -> dict:
     def place(path, leaf):
-        spec = specs
-        for k in path:
-            if not isinstance(spec, dict):
-                break  # quantized leaf {q8:q, q8:s}: both take the
-                       # weight's spec (same [L, in, out] axis order)
-            spec = spec[k.key]
         if leaf is None:
             return None
-        if spec is None:
+        spec = specs
+        quant_key = None
+        for k in path:
+            if not isinstance(spec, dict):
+                quant_key = k.key  # inside a quantized leaf dict
+                break
+            spec = spec.get(k.key, P())  # unknown leaves replicate
+        if spec is None or isinstance(spec, dict):
             spec = P()
+        if quant_key is not None:
+            spec = _quant_leaf_spec(spec, quant_key)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_decoder_params(params: dict, mesh: Mesh) -> dict:
+def shard_decoder_params(params: dict, mesh: Mesh, cfg=None) -> dict:
+    """Place decoder params on the mesh per the tp layout rules.
+
+    tp > 1 handles every shipping weight layout:
+    - fused (`wqkv`/`w_gate_up`): auto-unfused first (pass `cfg`) — an
+      out-dim shard of the fused matrices would split Q from K/V,
+    - int8pc dicts: int8 weights shard like the dense weight, per-channel
+      scales shard their out axis,
+    - q8_0 dicts: unsupported under tp — the Q8_0 path runs Pallas grid
+      kernels that expect whole weights on one chip; use int8pc (the
+      faster config anyway) for multi-chip.
+    """
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        layers = params["layers"]
+        if "wqkv" in layers or "w_gate_up" in layers:
+            if cfg is None:
+                raise ValueError(
+                    "fused decoder params need cfg to auto-unfuse for tp>1")
+            from qwen3_asr_tpu.runtime.params import unfuse_decoder_params
+
+            params = unfuse_decoder_params(params, cfg)
+        has_q8 = "lm_head_q8" in params or any(
+            isinstance(v, dict) and "q8:q" in v
+            for v in params["layers"].values()
+        )
+        if has_q8:
+            raise NotImplementedError(
+                "q8_0 (Pallas) layout cannot tp-shard; quantize with "
+                "'int8pc' for multi-chip")
     return _shard(params, decoder_param_specs(params), mesh)
 
 

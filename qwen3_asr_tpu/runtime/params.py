@@ -374,6 +374,41 @@ def fuse_decoder_params(dec_params: dict) -> dict:
     return out
 
 
+def unfuse_decoder_params(dec_params: dict, cfg) -> dict:
+    """Inverse of `fuse_decoder_params`: split `wqkv`/`w_gate_up` back into
+    separate leaves (exact inverse — fusion is a pure concat along the out
+    axis, for dense and quantized dicts alike).
+
+    Used by the tp sharding path (parallel/mesh.py): a tensor-parallel
+    shard of the fused out dim would cut Q from K/V mid-matrix, so tp
+    shards the unfused layout."""
+    layers = dict(dec_params["layers"])
+
+    def _split(leaf, sizes):
+        bounds = np.cumsum(sizes)[:-1].tolist()
+        if isinstance(leaf, dict):
+            # quantized: every subleaf's LAST axis is the out dim
+            # (i8pc:q [L,in,out], i8pc:s [L,out], q8:s [L,in/32,out])
+            parts = [
+                jnp.split(v, bounds, axis=-1) for v in leaf.values()
+            ]
+            return [dict(zip(leaf.keys(), p)) for p in zip(*parts)]
+        return jnp.split(leaf, bounds, axis=-1)
+
+    if "wqkv" in layers:
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        layers["wq"], layers["wk"], layers["wv"] = _split(
+            layers.pop("wqkv"), (qd, kvd, kvd))
+    if "w_gate_up" in layers:
+        i = cfg.intermediate_size
+        layers["w_gate"], layers["w_up"] = _split(
+            layers.pop("w_gate_up"), (i, i))
+    out = dict(dec_params)
+    out["layers"] = layers
+    return out
+
+
 # ---------------------------------------------------------------------------
 # random init (tests / benchmarks without model files)
 # ---------------------------------------------------------------------------
