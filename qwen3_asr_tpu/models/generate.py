@@ -49,7 +49,7 @@ def generate_greedy(
     included (the reference pops it, qwen3_asr.cpp:298-300).
     """
     P = tokens.shape[0]
-    S = P + max_tokens
+    S = -(-(P + max_tokens) // 8) * 8  # 8-aligned for the megakernel's DMAs
     cache = init_kv_cache(cfg, S, cache_dtype)
 
     # ---- prefill -----------------------------------------------------------
@@ -64,6 +64,38 @@ def generate_greedy(
 
     # ---- decode loop -------------------------------------------------------
     out0 = jnp.zeros((max_tokens,), jnp.int32).at[0].set(first)
+
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_mega = ("mega" in dec_params and cache_dtype == jnp.bfloat16
+                and has_pallas_tpu())
+    if use_mega:
+        # whole-step megakernel (ops/megakernel.py): every decode step is
+        # ONE pallas launch (all layers + lm head + argmax), weights
+        # streamed at ~90% of HBM bandwidth
+        from qwen3_asr_tpu.ops.megakernel import mega_decode_step
+
+        L = cfg.n_layers
+        DKV = cfg.n_kv_heads * cfg.head_dim
+        k3 = cache["k"].reshape(L, S, DKV)
+        v3 = cache["v"].reshape(L, S, DKV)
+
+        def cond_m(state):
+            i, token, _, _, _ = state
+            return (token != cfg.eos_token_id) & (i < max_tokens)
+
+        def body_m(state):
+            i, token, k3, v3, out = state
+            pos = (n_prompt + i).astype(jnp.int32)
+            x = jnp.take(dec_params["token_embd"], token[None], axis=0)
+            nxt, k3, v3, _ = mega_decode_step(
+                dec_params["mega"], cfg, x, pos, k3, v3)
+            return i + 1, nxt, k3, v3, out.at[i].set(nxt)
+
+        i, last, _, _, out = jax.lax.while_loop(
+            cond_m, body_m, (jnp.int32(1), first, k3, v3, out0))
+        n_kept = jnp.where(last == cfg.eos_token_id, i - 1, i)
+        return out, n_kept
 
     def cond(state):
         i, token, _, _ = state

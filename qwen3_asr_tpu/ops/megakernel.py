@@ -64,11 +64,16 @@ def _pack_tiles(q: np.ndarray, s: np.ndarray, co: int):
 
 def _pack_stack(leaf: dict, co: int):
     """Stacked quantized leaf {i8pc:q [L,in,out], i8pc:s [L,out]} ->
-    (tiles [L, out/co, in, co] int8, scales [L, out/co, co] f32)."""
+    (tiles [L, out/co, in, co] int8, scales [L, out/co, 8, co] f32).
+    Each (layer, oi) scale row owns a full 8-row block (row 0 = values) so
+    its HBM DMA slice is tile-aligned."""
     q = np.asarray(leaf["i8pc:q"])
     s = np.asarray(leaf["i8pc:s"], dtype=np.float32)
     qs, ss = zip(*(_pack_tiles(q[l], s[l], co) for l in range(q.shape[0])))
-    return jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(ss))
+    st = np.stack(ss)                                  # [L, n_oc, co]
+    s8 = np.zeros(st.shape[:2] + (8, st.shape[2]), np.float32)
+    s8[:, :, 0, :] = st
+    return jnp.asarray(np.stack(qs)), jnp.asarray(s8)
 
 
 def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig) -> dict:
@@ -113,14 +118,28 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig) -> dict:
         hs = np.pad(hs, (0, Vp - V))
     hqt, hst = _pack_tiles(hq, hs, co_h)
     pack["head_q"] = jnp.asarray(hqt)
-    pack["head_s"] = jnp.asarray(hst)
+    # head scales stream from HBM through the scale ring like the layer
+    # scales (8-row block per chunk, row 0 = values) — keeping them
+    # resident would cost ~0.6 MB of the ~16 MB VMEM
+    hs8 = np.zeros((hst.shape[0], 8, hst.shape[1]), np.float32)
+    hs8[:, 0, :] = hst
+    pack["head_s"] = jnp.asarray(hs8)
 
-    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    pack["attn_norm"] = f32(layers["attn_norm"])
-    pack["ffn_norm"] = f32(layers["ffn_norm"])
-    pack["q_norm"] = f32(layers["q_norm"])
-    pack["k_norm"] = f32(layers["k_norm"])
-    pack["out_norm"] = f32(dec_params["output_norm"]).reshape(1, H)
+    # all four per-layer norm vectors share one [L, 8, H] block (dynamic
+    # layer indexing needs 8-row-aligned sublane offsets; packing them
+    # into the same block's rows 0-3 costs no extra VMEM):
+    #   row 0 = attn_norm, 1 = ffn_norm, 2 = q_norm (first head_dim cols),
+    #   3 = k_norm
+    L = np.asarray(layers["attn_norm"]).shape[0]
+    norms = np.zeros((L, 8, H), np.float32)
+    norms[:, 0, :] = np.asarray(layers["attn_norm"], np.float32)
+    norms[:, 1, :] = np.asarray(layers["ffn_norm"], np.float32)
+    D = np.asarray(layers["q_norm"]).shape[-1]
+    norms[:, 2, :D] = np.asarray(layers["q_norm"], np.float32)
+    norms[:, 3, :D] = np.asarray(layers["k_norm"], np.float32)
+    pack["norms"] = jnp.asarray(norms)
+    pack["out_norm"] = jnp.asarray(
+        np.asarray(dec_params["output_norm"], np.float32).reshape(1, H))
     return pack
 
 
@@ -176,20 +195,23 @@ def _mega_kernel(
     # inputs
     pos_ref,            # SMEM [1] int32: cache write row / RoPE position
     x_ref,              # VMEM [1, H] bf16: embedded token
-    qkv_s, wo_s, gu_s, wd_s, head_s,       # VMEM scale packs
-    attn_norm, ffn_norm, q_norm, k_norm, out_norm,  # VMEM norm packs
+    norms,              # VMEM [L, 8, H] f32: rows 0-3 = attn/ffn/q/k norms
+    out_norm,           # VMEM [1, H] f32
     qkv_q, wo_q, gu_q, wd_q, head_q,       # ANY (HBM) int8 tile packs
+    qkv_s, wo_s, gu_s, wd_s, head_s,       # ANY (HBM) scale packs
     k_in, v_in,                            # ANY (HBM) caches [L, S, DKV]
     # outputs
-    tok_out,            # VMEM [1, 1] int32
+    tok_out,            # SMEM [1, 1] int32
     h_out,              # VMEM [1, H] f32 (pre-norm hidden, for debugging)
-    k_out, v_out,       # ANY, aliased to k_in/v_in
+    fresh_k, fresh_v,   # VMEM [L, 8, DKV] bf16 — row 0 of each 8-block
+                        # holds the layer's fresh K/V (caller scatters into
+                        # the cache; Mosaic can't DMA 1-row HBM slices)
     # scratch
     wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
+    sbufs,              # VMEM [NBUF, 8, co_max] f32 (per-chunk scale rows)
     kbuf, vbuf,         # VMEM [S, DKV] bf16
-    krow, vrow,         # VMEM [1, DKV] bf16 (fresh rows to store)
-    sems, kv_sems, row_sems,
-    *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V,
+    sems, ssems, kv_sems,
+    *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -197,17 +219,18 @@ def _mega_kernel(
     eps, theta = cfg.rms_norm_eps, cfg.rope_theta
     scale = 1.0 / float(np.sqrt(D))
     group = NH // NKV
-    L = qkv_s.shape[0]
     n_sched = len(sched)
     pos = pos_ref[0]
 
     hbm = {"qkv": qkv_q, "wo": wo_q, "gu": gu_q, "wd": wd_q}
+    hbm_s = {"qkv": qkv_s, "wo": wo_s, "gu": gu_s, "wd": wd_s}
 
     # Ring slots are numbered by the GLOBAL chunk position g = l*n_sched + j
     # (continuing into the lm-head stream after the last layer) so the slot
     # sequence stays consistent across layer boundaries even when
     # n_sched % NBUF != 0. `l` is dynamic, so slots are traced values; DMA
-    # offsets and dynamic leading-dim indexing handle that.
+    # offsets handle that, and every dynamically indexed VMEM buffer keeps
+    # 8-row-aligned blocks per index (Mosaic's sublane-offset rule).
 
     def chunk_dma(entry, l, slot):
         mat, oi, ii, ci, co = entry
@@ -215,54 +238,78 @@ def _mega_kernel(
         return pltpu.make_async_copy(
             src, wbufs.at[slot, pl.ds(0, ci), pl.ds(0, co)], sems.at[slot])
 
+    def scale_dma(entry, l, slot):
+        mat, oi, ii, ci, co = entry
+        # scale packs are [L, n_oc, 8, co]: a full 8-row block per oi keeps
+        # the HBM slice tile-aligned (row 0 holds the scales)
+        return pltpu.make_async_copy(
+            hbm_s[mat].at[l, oi],
+            sbufs.at[slot, :, pl.ds(0, co)], ssems.at[slot])
+
     def head_dma(hi, slot):
         return pltpu.make_async_copy(
             head_q.at[hi], wbufs.at[slot, pl.ds(0, H), pl.ds(0, co_h)],
             sems.at[slot])
 
+    def head_scale_dma(hi, slot):
+        return pltpu.make_async_copy(
+            head_s.at[hi], sbufs.at[slot, :, pl.ds(0, co_h)],
+            ssems.at[slot])
+
     def start(j, l):
-        """Issue the DMA for layer-local schedule position j (static; may
-        run past this layer into layer l+1 or, after the last layer, into
-        the lm-head chunk stream). `l` is dynamic."""
+        """Issue the DMA(s) for layer-local schedule position j (static;
+        may run past this layer into layer l+1 or, after the last layer,
+        into the lm-head chunk stream). `l` is dynamic."""
         slot = (l * n_sched + j) % NBUF
         if j < n_sched:
             chunk_dma(sched[j], l, slot).start()
+            if sched[j][2] == 0:  # first in-chunk carries the oi's scales
+                scale_dma(sched[j], l, slot).start()
         else:
             wrapped = j - n_sched
 
             @pl.when(l + 1 < L)
             def _():
                 chunk_dma(sched[wrapped], l + 1, slot).start()
+                if sched[wrapped][2] == 0:
+                    scale_dma(sched[wrapped], l + 1, slot).start()
 
             if wrapped < n_hc:
                 @pl.when(l + 1 == L)
                 def _():
                     head_dma(wrapped, slot).start()
+                    head_scale_dma(wrapped, slot).start()
 
     def kv_dma(src, dst, which):
         return pltpu.make_async_copy(src, dst, kv_sems.at[which])
 
     # ---- warmup: first LOOKAHEAD chunks of layer 0 + layer 0's K/V ------
     for j in range(min(LOOKAHEAD, n_sched)):
-        chunk_dma(sched[j], 0, j % NBUF).start()
+        start(j, 0)
     kv_dma(k_in.at[0], kbuf, 0).start()
     kv_dma(v_in.at[0], vbuf, 1).start()
 
-    def stream_matmul(l, mat, xq, sx, s_pack, j0):
+    def stream_matmul(l, mat, xq, sx, j0):
         """Consume this matmul's chunks from the schedule starting at j0;
         returns (f32 [1, n_out] result, next schedule index). Static
-        python loop — the schedule is static per layer."""
+        python loop — the schedule is static per layer. Order per chunk is
+        wait -> read scale -> issue lookahead -> dot, so a slot's scale row
+        is consumed before any DMA that could overwrite it is issued."""
         n_oc, n_in, co = shapes[mat]
         n_ic = -(-n_in // CHUNK_IN)
         outs = []
         j = j0
         for oi in range(n_oc):
             acc = None
+            s_row = None
             for ii in range(n_ic):
                 entry = sched[j]
                 slot = (l * n_sched + j) % NBUF
-                start(j + LOOKAHEAD, l)
                 chunk_dma(entry, l, slot).wait()
+                if ii == 0:
+                    scale_dma(entry, l, slot).wait()
+                    s_row = sbufs[slot, 0:1, :co]  # [1, co] f32
+                start(j + LOOKAHEAD, l)
                 ci = entry[3]
                 xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
                                    (1, ii * CHUNK_IN + ci))
@@ -272,14 +319,14 @@ def _mega_kernel(
                     preferred_element_type=jnp.int32)
                 acc = part if acc is None else acc + part
                 j += 1
-            outs.append(acc.astype(jnp.float32) * (sx * s_pack[l, oi][None, :]))
+            outs.append(acc.astype(jnp.float32) * (sx * s_row))
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0], j
 
     # ---- layers ----------------------------------------------------------
     def layer(l, x_bf16):
-        xf = _rms_f32(x_bf16, attn_norm[l], eps).astype(jnp.bfloat16)
+        xf = _rms_f32(x_bf16, norms[l, 0:1, :], eps).astype(jnp.bfloat16)
         xq, sx = _quant_row(xf.astype(jnp.float32))
-        qkv_f32, j = stream_matmul(l, "qkv", xq, sx, qkv_s, 0)
+        qkv_f32, j = stream_matmul(l, "qkv", xq, sx, 0)
         qkv = qkv_f32.astype(jnp.bfloat16)  # match the XLA path's cast
 
         # --- attention over the HBM cache (math = ops/decode_attention.py)
@@ -287,10 +334,12 @@ def _mega_kernel(
         kv_dma(v_in.at[l], vbuf, 1).wait()
 
         rows = qkv.reshape(NH + 2 * NKV, D)
-        q_all = _rope_row(_rms_f32(rows[:NH, :], q_norm[l], eps),
-                          pos, theta) * scale
-        k_all = _rope_row(_rms_f32(rows[NH:NH + NKV, :], k_norm[l], eps),
-                          pos, theta)
+        q_all = _rope_row(
+            _rms_f32(rows[:NH, :], norms[l, 2:3, 0:D], eps), pos,
+            theta) * scale
+        k_all = _rope_row(
+            _rms_f32(rows[NH:NH + NKV, :], norms[l, 3:4, 0:D], eps),
+            pos, theta)
         v_all = rows[NH + NKV:, :].astype(jnp.float32)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
@@ -317,31 +366,31 @@ def _mega_kernel(
             attn_heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
         attn = jnp.concatenate(attn_heads, axis=0).reshape(1, DQ)
 
-        # store the fresh K/V rows into the HBM cache at row `pos`
-        krow[0, :] = k_all.reshape(1, DKV).astype(krow.dtype)[0, :]
-        vrow[0, :] = v_all.reshape(1, DKV).astype(vrow.dtype)[0, :]
-        kw = pltpu.make_async_copy(
-            krow, k_out.at[l, pl.ds(pos, 1), :], row_sems.at[0])
-        vw = pltpu.make_async_copy(
-            vrow, v_out.at[l, pl.ds(pos, 1), :], row_sems.at[1])
-        kw.start()
-        vw.start()
+        # fresh K/V rows land in the aligned [L, 8, DKV] output; the caller
+        # scatters row 0 of each block into the cache at `pos`
+        fresh_k[l, 0:1, :] = k_all.reshape(1, DKV).astype(fresh_k.dtype)
+        fresh_v[l, 0:1, :] = v_all.reshape(1, DKV).astype(fresh_v.dtype)
 
         # --- output projection + residual (casts mirror the XLA path:
         # matmul results drop to bf16, residual adds run in bf16)
         attn_bf = attn.astype(jnp.bfloat16)
         xq2, sx2 = _quant_row(attn_bf.astype(jnp.float32))
-        wo_f32, j = stream_matmul(l, "wo", xq2, sx2, wo_s, j)
+        wo_f32, j = stream_matmul(l, "wo", xq2, sx2, j)
         h1 = x_bf16 + wo_f32.astype(jnp.bfloat16)
 
         # --- SwiGLU MLP
-        xn2 = _rms_f32(h1, ffn_norm[l], eps).astype(jnp.bfloat16)
+        xn2 = _rms_f32(h1, norms[l, 1:2, :], eps).astype(jnp.bfloat16)
         xq3, sx3 = _quant_row(xn2.astype(jnp.float32))
-        gu_f32, j = stream_matmul(l, "gu", xq3, sx3, gu_s, j)
+        gu_f32, j = stream_matmul(l, "gu", xq3, sx3, j)
+        # silu in f32: Mosaic mis-lowers bf16 logistic (f32 broadcast into
+        # a bf16 vector); bf16-round the gate/up first to track XLA
         gu = gu_f32.astype(jnp.bfloat16)
-        act = jax.nn.silu(gu[:, :FF]) * gu[:, FF:]
-        xq4, sx4 = _quant_row(act.astype(jnp.float32))
-        wd_f32, j = stream_matmul(l, "wd", xq4, sx4, wd_s, j)
+        g32 = gu[:, :FF].astype(jnp.float32)
+        u32 = gu[:, FF:].astype(jnp.float32)
+        act = (g32 * jax.lax.logistic(g32)) * u32
+        xq4, sx4 = _quant_row(
+            act.astype(jnp.bfloat16).astype(jnp.float32))
+        wd_f32, j = stream_matmul(l, "wd", xq4, sx4, j)
         assert j == n_sched
 
         # next layer's K/V stream starts as early as possible
@@ -350,29 +399,30 @@ def _mega_kernel(
             kv_dma(k_in.at[l + 1], kbuf, 0).start()
             kv_dma(v_in.at[l + 1], vbuf, 1).start()
 
-        kw.wait()
-        vw.wait()
         return h1 + wd_f32.astype(jnp.bfloat16)
 
     x = jax.lax.fori_loop(0, L, layer, x_ref[:], unroll=False)
     h_out[:] = x.astype(jnp.float32)
 
     # ---- final norm + lm head + argmax ------------------------------------
-    xf = _rms_f32(x, out_norm[0], eps).astype(jnp.bfloat16)
+    xf = _rms_f32(x, out_norm[0:1, :], eps).astype(jnp.bfloat16)
     xq, sx = _quant_row(xf.astype(jnp.float32))
     best_val = jnp.float32(_NEG)
     best_idx = jnp.int32(0)
     # head chunk hi sits at global position L*n_sched + hi (static)
     for hi in range(n_hc):
-        if hi + LOOKAHEAD < n_hc:
-            head_dma(hi + LOOKAHEAD,
-                     (L * n_sched + hi + LOOKAHEAD) % NBUF).start()
         slot = (L * n_sched + hi) % NBUF
         head_dma(hi, slot).wait()
+        head_scale_dma(hi, slot).wait()
+        s_row = sbufs[slot, 0:1, :co_h]
+        if hi + LOOKAHEAD < n_hc:
+            slot_n = (L * n_sched + hi + LOOKAHEAD) % NBUF
+            head_dma(hi + LOOKAHEAD, slot_n).start()
+            head_scale_dma(hi + LOOKAHEAD, slot_n).start()
         acc = jax.lax.dot_general(
             xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        logits = acc.astype(jnp.float32) * (sx * head_s[hi][None, :])
+        logits = acc.astype(jnp.float32) * (sx * s_row)
         cols = hi * co_h + jax.lax.broadcasted_iota(jnp.int32, (1, co_h), 1)
         logits = jnp.where(cols < V, logits, _NEG)
         m = jnp.max(logits)
@@ -401,10 +451,14 @@ def mega_decode_step(
     v_cache: jax.Array,
     interpret: bool = False,
 ):
-    """-> (next_token scalar int32, k_cache, v_cache). Caches are donated
-    and updated in place (row `pos`)."""
+    """-> (next_token scalar int32, k_cache, v_cache, h_dbg). Caches are
+    donated; the kernel emits the fresh per-layer K/V rows and this wrapper
+    scatters them into the caches at row `pos` (one fused in-place
+    dynamic_update_slice — Mosaic can't DMA single unaligned HBM rows)."""
     L, S, DKV = k_cache.shape
     H = cfg.hidden_size
+    if S % 8:
+        raise ValueError(f"cache rows S={S} must be a multiple of 8")
 
     shapes = {}
     for mat in ("qkv", "wo", "gu", "wd"):
@@ -420,53 +474,53 @@ def mega_decode_step(
 
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V)
+        n_hc=n_hc, co_h=co_h, V=V, L=L)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
 
-    tok, h_dbg, k_new, v_new = pl.pallas_call(
+    tok, h_dbg, fresh_k, fresh_v = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
             vmem,                                    # x
-            vmem, vmem, vmem, vmem, vmem,            # scale packs
-            vmem, vmem, vmem, vmem, vmem,            # norm packs
+            vmem, vmem,                              # norms, out_norm
             any_, any_, any_, any_, any_,            # weight tile packs
+            any_, any_, any_, any_, any_,            # scale packs (HBM)
             any_, any_,                              # k/v caches
         ],
-        out_specs=[vmem, vmem, any_, any_],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem, vmem],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((L, 8, DKV), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, 8, DKV), v_cache.dtype),
         ],
-        # inputs: 0 pos, 1 x, 2-6 scales, 7-11 norms, 12-16 weight packs,
-        # 17 k_cache, 18 v_cache — caches alias outputs 2/3 (in-place)
-        input_output_aliases={17: 2, 18: 3},
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),
+            pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),   # weight ring
+            pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
             pltpu.VMEM((S, DKV), k_cache.dtype),
             pltpu.VMEM((S, DKV), v_cache.dtype),
-            pltpu.VMEM((1, DKV), k_cache.dtype),
-            pltpu.VMEM((1, DKV), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
+            pltpu.SemaphoreType.DMA((NBUF,)),               # scale sems
+            pltpu.SemaphoreType.DMA((2,)),                  # k/v sems
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),
         x.astype(jnp.bfloat16),
-        mega["qkv_s"], mega["wo_s"], mega["gu_s"], mega["wd_s"],
-        mega["head_s"],
-        mega["attn_norm"], mega["ffn_norm"], mega["q_norm"], mega["k_norm"],
-        mega["out_norm"],
+        mega["norms"], mega["out_norm"],
         mega["qkv_q"], mega["wo_q"], mega["gu_q"], mega["wd_q"],
         mega["head_q"],
+        mega["qkv_s"], mega["wo_s"], mega["gu_s"], mega["wd_s"],
+        mega["head_s"],
         k_cache, v_cache,
     )
-    return tok[0, 0], k_new, v_new, h_dbg
+    p = jnp.asarray(pos, jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, fresh_k[:, :1, :], (0, p, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, fresh_v[:, :1, :], (0, p, 0))
+    return tok[0, 0], k_cache, v_cache, h_dbg

@@ -196,6 +196,11 @@ def batched_transcribe_step(
     """
     from qwen3_asr_tpu.models.generate import generate_greedy
 
+    # the whole-step megakernel is single-sequence (manual DMA ring, no
+    # batch dim) — the batched path uses the vmappable XLA step
+    if "mega" in dec_params:
+        dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
+
     # note: the pallas decode-attention kernel stays ON under vmap —
     # measured FASTER than the masked-XLA batched attention (B=4: 754 vs
     # 660 tok/s aggregate; B=8: 803 vs 750). cfg.use_decode_attn_kernel

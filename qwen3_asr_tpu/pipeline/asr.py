@@ -102,6 +102,7 @@ class Qwen3ASR:
             from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
             self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
+            self._maybe_pack_megakernel(quantize)
             self.params = jax.device_put(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
@@ -128,11 +129,26 @@ class Qwen3ASR:
         from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
         self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
+        self._maybe_pack_megakernel(quantize)
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 
     def set_progress_callback(self, cb: Callable[[int, int], None]) -> None:
         self._progress_cb = cb
+
+    def _maybe_pack_megakernel(self, quantize: str) -> None:
+        """int8pc + fused => also pack the whole-step decode megakernel
+        (ops/megakernel.py). generate_greedy picks it up on TPU; every
+        other path ignores the extra 'mega' entry."""
+        if quantize != "int8pc":
+            return
+        try:
+            from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+
+            self.params["decoder"]["mega"] = pack_megakernel_params(
+                self.params["decoder"], self.cfg.decoder)
+        except ValueError:
+            pass  # layout not eligible (e.g. unfused)
 
     def _resolve_quantize(self) -> str:
         """'auto' -> int8pc for dense weights, no-op when the GGUF already
