@@ -60,6 +60,19 @@ def main():
     from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
     params["decoder"] = fuse_decoder_params(params["decoder"])
+    # int8pc + fused: pack the whole-step decode megakernel (one Pallas
+    # launch per token — all layers + lm head + argmax). BENCH_MEGA=0 to
+    # measure the plain XLA decode loop instead.
+    use_mega = (quant == "int8pc"
+                and os.environ.get("BENCH_MEGA", "1") == "1")
+    if use_mega:
+        try:
+            from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+
+            params["decoder"]["mega"] = pack_megakernel_params(
+                params["decoder"], cfg.decoder)
+        except ValueError:
+            use_mega = False
     params = jax.device_put(params)
     dcfg = cfg.decoder
     # BENCH_KV_INT8=1: int8 KV cache (measured SLOWER on the v5e — the
@@ -127,6 +140,10 @@ def main():
         t1 = time.perf_counter()
         return {"total_ms": (t1 - t0) * 1e3, "n_tokens": n_kept}
 
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    pallas_ok = has_pallas_tpu()
+    print(f"bench: has_pallas_tpu={pallas_ok}", file=sys.stderr, flush=True)
     print("bench: compiling/warmup (staged)...", file=sys.stderr, flush=True)
     pipeline(n_decode_tokens)
     print("bench: compiling/warmup (fused)...", file=sys.stderr, flush=True)
@@ -146,17 +163,44 @@ def main():
     # effective_hbm_gbps = that traffic / measured step time, against the
     # v5e's ~819 GB/s peak. This is the roof-tracking number the judge asked
     # for (VERDICT r1 weak#1) — no "fraction of the bound" spin.
-    weight_bytes = sum(
-        x.nbytes for x in jax.tree.leaves(params["decoder"])
-        if hasattr(x, "nbytes")
-    )
+    def _nbytes(tree):
+        return sum(x.nbytes for x in jax.tree.leaves(tree)
+                   if hasattr(x, "nbytes"))
+
+    dec_tree = dict(params["decoder"])
+    mega_pack = dec_tree.pop("mega", None)
+    if use_mega and mega_pack is not None:
+        # the mega loop streams ONLY the packed weights (incl. int8 lm
+        # head); the dense embedding is a single-row gather per step
+        weight_bytes = _nbytes(mega_pack)
+    else:
+        # int8 lm head present => the dense tied embedding is only the
+        # per-step row gather, not a full stream
+        has_int8_head = any(k in dec_tree for k in ("lm_head_pc",
+                                                    "lm_head_q8"))
+        if has_int8_head:
+            dec_tree.pop("token_embd", None)
+        weight_bytes = _nbytes(dec_tree)
     # prefill length ~= prompt; mean decode context = prompt + n/2
     n_audio_feats = int(np.ceil(seconds * 100 / 100) * 13)  # ~13 feats/s
     n_prompt_est = n_audio_feats + 20
-    mean_ctx = n_prompt_est + best["n_tokens"] / 2
-    kv_bytes_per_tok = dcfg.num_kv_heads * dcfg.head_dim * 2  # k+v, per layer
+    P_bucket = -(-(n_prompt_est + 40) // 128) * 128
+    S_alloc = -(-(P_bucket + n_decode_tokens) // 8) * 8
+    if use_mega:
+        # the megakernel streams KV in KV_BLOCK-row blocks gated on the
+        # live position: bytes/step follow ceil(pos / KV_BLOCK)
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK
+
+        rows = float(np.mean([
+            min(S_alloc, -(-(n_prompt_est + i) // KV_BLOCK) * KV_BLOCK)
+            for i in range(best["n_tokens"])
+        ]))
+    else:
+        # the XLA decode step's cache dot spans the full allocated buffer
+        rows = float(S_alloc)
+    kv_bytes_per_tok = dcfg.n_kv_heads * dcfg.head_dim * 2  # k+v, per layer
     kv_dtype_bytes = 1 if cache_dtype == jnp.int8 else 2
-    kv_bytes = dcfg.num_layers * mean_ctx * kv_bytes_per_tok * kv_dtype_bytes
+    kv_bytes = dcfg.n_layers * rows * kv_bytes_per_tok * kv_dtype_bytes
     step_ms = best["decode_ms"] / best["n_tokens"]
     hbm_gbps = (weight_bytes + kv_bytes) / (step_ms / 1e3) / 1e9
     HBM_PEAK_GBPS = 819.0  # v5e
@@ -185,6 +229,8 @@ def main():
             "weights": ("gguf" if gguf else "synthetic-bf16")
             + (f"+{quant}" if quant else ""),
             "scan_unroll": unroll,
+            "megakernel": use_mega,
+            "has_pallas": pallas_ok,
         },
     }
     print(json.dumps(result))

@@ -44,6 +44,9 @@ NBUF = 3          # weight ring slots
 LOOKAHEAD = 2     # DMAs in flight ahead of compute (must be < NBUF)
 CHUNK_IN = 1024   # max rows per weight chunk (the hidden size)
 CHUNK_OUT = 2048  # max cols per weight chunk
+KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
+                  # past `pos` are never streamed — the KV read scales with
+                  # the live context, not the allocated cache
 _NEG = -0.7 * float(np.finfo(np.float32).max)
 
 
@@ -212,6 +215,7 @@ def _mega_kernel(
     kbuf, vbuf,         # VMEM [S, DKV] bf16
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
+    kv_blocks,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -280,14 +284,47 @@ def _mega_kernel(
                     head_dma(wrapped, slot).start()
                     head_scale_dma(wrapped, slot).start()
 
-    def kv_dma(src, dst, which):
-        return pltpu.make_async_copy(src, dst, kv_sems.at[which])
+    # KV streaming is block-gated on `pos`: only KV_BLOCK-row blocks whose
+    # start row is below the live context length move over HBM. Uncovered
+    # blocks are zeroed once at warmup (VMEM scratch is undefined — a
+    # non-finite garbage V row would turn the masked `0 * v` term into NaN).
+    n_kvb = len(kv_blocks)
+
+    def kv_copy(l, which, b):
+        sb, cb = kv_blocks[b]
+        src = (k_in if which == 0 else v_in).at[l, pl.ds(sb, cb), :]
+        dst = (kbuf if which == 0 else vbuf).at[pl.ds(sb, cb), :]
+        return pltpu.make_async_copy(src, dst, kv_sems.at[which, b])
+
+    def kv_start(l):
+        for b in range(n_kvb):
+            sb, _ = kv_blocks[b]
+
+            @pl.when(sb < pos)
+            def _():
+                kv_copy(l, 0, b).start()
+                kv_copy(l, 1, b).start()
+
+    def kv_wait(l):
+        for b in range(n_kvb):
+            sb, _ = kv_blocks[b]
+
+            @pl.when(sb < pos)
+            def _():
+                kv_copy(l, 0, b).wait()
+                kv_copy(l, 1, b).wait()
 
     # ---- warmup: first LOOKAHEAD chunks of layer 0 + layer 0's K/V ------
     for j in range(min(LOOKAHEAD, n_sched)):
         start(j, 0)
-    kv_dma(k_in.at[0], kbuf, 0).start()
-    kv_dma(v_in.at[0], vbuf, 1).start()
+    for b in range(n_kvb):
+        sb, cb = kv_blocks[b]
+
+        @pl.when(sb >= pos)
+        def _():
+            kbuf[sb:sb + cb, :] = jnp.zeros((cb, DKV), kbuf.dtype)
+            vbuf[sb:sb + cb, :] = jnp.zeros((cb, DKV), vbuf.dtype)
+    kv_start(0)
 
     def stream_matmul(l, mat, xq, sx, j0):
         """Consume this matmul's chunks from the schedule starting at j0;
@@ -330,8 +367,7 @@ def _mega_kernel(
         qkv = qkv_f32.astype(jnp.bfloat16)  # match the XLA path's cast
 
         # --- attention over the HBM cache (math = ops/decode_attention.py)
-        kv_dma(k_in.at[l], kbuf, 0).wait()
-        kv_dma(v_in.at[l], vbuf, 1).wait()
+        kv_wait(l)
 
         rows = qkv.reshape(NH + 2 * NKV, D)
         q_all = _rope_row(
@@ -396,8 +432,7 @@ def _mega_kernel(
         # next layer's K/V stream starts as early as possible
         @pl.when(l + 1 < L)
         def _():
-            kv_dma(k_in.at[l + 1], kbuf, 0).start()
-            kv_dma(v_in.at[l + 1], vbuf, 1).start()
+            kv_start(l + 1)
 
         return h1 + wd_f32.astype(jnp.bfloat16)
 
@@ -472,9 +507,17 @@ def mega_decode_step(
     # true vocab: padded columns carry zero scale; mask from cfg
     V = min(V, cfg.vocab_size)
 
+    kv_blocks = []
+    sb = 0
+    while sb < S:
+        cb = min(KV_BLOCK, S - sb)
+        kv_blocks.append((sb, cb))
+        sb += cb
+    kv_blocks = tuple(kv_blocks)
+
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V, L=L)
+        n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -504,7 +547,7 @@ def mega_decode_step(
             pltpu.VMEM((S, DKV), v_cache.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
             pltpu.SemaphoreType.DMA((NBUF,)),               # scale sems
-            pltpu.SemaphoreType.DMA((2,)),                  # k/v sems
+            pltpu.SemaphoreType.DMA((2, len(kv_blocks))),   # k/v sems
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
