@@ -49,7 +49,9 @@ def generate_greedy(
     included (the reference pops it, qwen3_asr.cpp:298-300).
     """
     P = tokens.shape[0]
-    S = -(-(P + max_tokens) // 8) * 8  # 8-aligned for the megakernel's DMAs
+    # 128-aligned for the megakernel's DMA slices (the int8-KV scale
+    # arrays' lane dim is S); costs <1% extra cache rows
+    S = -(-(P + max_tokens) // 128) * 128
     cache = init_kv_cache(cfg, S, cache_dtype)
 
     # ---- prefill -----------------------------------------------------------
@@ -67,33 +69,57 @@ def generate_greedy(
 
     from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
-    use_mega = ("mega" in dec_params and cache_dtype == jnp.bfloat16
+    use_mega = ("mega" in dec_params
+                and cache_dtype in (jnp.bfloat16, jnp.int8)
                 and has_pallas_tpu())
     if use_mega:
         # whole-step megakernel (ops/megakernel.py): every decode step is
         # ONE pallas launch (all layers + lm head + argmax), weights
-        # streamed at ~90% of HBM bandwidth
-        from qwen3_asr_tpu.ops.megakernel import mega_decode_step
+        # streamed at ~90% of HBM bandwidth. cache_dtype=int8 halves the
+        # context-proportional cache stream (prefill already wrote int8
+        # rows + per-(row, head) scales in the kernel's layout).
+        from qwen3_asr_tpu.ops.megakernel import (
+            mega_decode_step,
+            mega_decode_step_i8,
+        )
 
         L = cfg.n_layers
         DKV = cfg.n_kv_heads * cfg.head_dim
         k3 = cache["k"].reshape(L, S, DKV)
         v3 = cache["v"].reshape(L, S, DKV)
+        kv_i8 = cache_dtype == jnp.int8
 
         def cond_m(state):
-            i, token, _, _, _ = state
+            i, token = state[0], state[1]
             return (token != cfg.eos_token_id) & (i < max_tokens)
 
-        def body_m(state):
-            i, token, k3, v3, out = state
-            pos = (n_prompt + i).astype(jnp.int32)
-            x = jnp.take(dec_params["token_embd"], token[None], axis=0)
-            nxt, k3, v3, _ = mega_decode_step(
-                dec_params["mega"], cfg, x, pos, k3, v3)
-            return i + 1, nxt, k3, v3, out.at[i].set(nxt)
+        if kv_i8:
+            def body_m(state):
+                i, token, k3, v3, ks, vs, out = state
+                pos = (n_prompt + i).astype(jnp.int32)
+                x = jnp.take(dec_params["token_embd"], token[None], axis=0)
+                nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
+                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs)
+                return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
 
-        i, last, _, _, out = jax.lax.while_loop(
-            cond_m, body_m, (jnp.int32(1), first, k3, v3, out0))
+            # prefill wrote [L, S, NKV] scales; the kernel wants the
+            # 128-tiled lane dim to be S
+            state = (jnp.int32(1), first, k3, v3,
+                     cache["k_s"].transpose(0, 2, 1),
+                     cache["v_s"].transpose(0, 2, 1), out0)
+        else:
+            def body_m(state):
+                i, token, k3, v3, out = state
+                pos = (n_prompt + i).astype(jnp.int32)
+                x = jnp.take(dec_params["token_embd"], token[None], axis=0)
+                nxt, k3, v3, _ = mega_decode_step(
+                    dec_params["mega"], cfg, x, pos, k3, v3)
+                return i + 1, nxt, k3, v3, out.at[i].set(nxt)
+
+            state = (jnp.int32(1), first, k3, v3, out0)
+
+        final = jax.lax.while_loop(cond_m, body_m, state)
+        i, last, out = final[0], final[1], final[-1]
         n_kept = jnp.where(last == cfg.eos_token_id, i - 1, i)
         return out, n_kept
 

@@ -203,19 +203,24 @@ def _mega_kernel(
     qkv_q, wo_q, gu_q, wd_q, head_q,       # ANY (HBM) int8 tile packs
     qkv_s, wo_s, gu_s, wd_s, head_s,       # ANY (HBM) scale packs
     k_in, v_in,                            # ANY (HBM) caches [L, S, DKV]
+    ks_in, vs_in,       # ANY (HBM) [L, NKV, S] f32 per-(row, head) cache
+                        # scales, transposed so the 128-tiled lane dim is S
+                        # (kv_i8 mode; dummies otherwise)
     # outputs
     tok_out,            # SMEM [1, 1] int32
     h_out,              # VMEM [1, H] f32 (pre-norm hidden, for debugging)
-    fresh_k, fresh_v,   # VMEM [L, 8, DKV] bf16 — row 0 of each 8-block
-                        # holds the layer's fresh K/V (caller scatters into
-                        # the cache; Mosaic can't DMA 1-row HBM slices)
+    fresh_k, fresh_v,   # VMEM [L, 8, DKV] — row 0 of each 8-block holds
+                        # the layer's fresh K/V (caller scatters into the
+                        # cache; Mosaic can't DMA 1-row HBM slices)
+    fresh_ks, fresh_vs,  # VMEM [L, 8, NKV] f32 — fresh-row scales (kv_i8)
     # scratch
     wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
     sbufs,              # VMEM [NBUF, 8, co_max] f32 (per-chunk scale rows)
-    kbuf, vbuf,         # VMEM [S, DKV] bf16
+    kbuf, vbuf,         # VMEM [S, DKV] bf16 or int8
+    ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
-    kv_blocks,
+    kv_blocks, kv_i8: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -290,10 +295,19 @@ def _mega_kernel(
     # non-finite garbage V row would turn the masked `0 * v` term into NaN).
     n_kvb = len(kv_blocks)
 
+    kv_streams = [(k_in, kbuf, "rows"), (v_in, vbuf, "rows")]
+    if kv_i8:
+        kv_streams += [(ks_in, ksbuf, "scales"), (vs_in, vsbuf, "scales")]
+
     def kv_copy(l, which, b):
         sb, cb = kv_blocks[b]
-        src = (k_in if which == 0 else v_in).at[l, pl.ds(sb, cb), :]
-        dst = (kbuf if which == 0 else vbuf).at[pl.ds(sb, cb), :]
+        src_hbm, dst_vmem, kind = kv_streams[which]
+        if kind == "rows":     # [L, S, DKV]: slice the sublane (row) dim
+            src = src_hbm.at[l, pl.ds(sb, cb), :]
+            dst = dst_vmem.at[pl.ds(sb, cb), :]
+        else:                  # scales [L, NKV, S]: slice the lane dim
+            src = src_hbm.at[l, :, pl.ds(sb, cb)]
+            dst = dst_vmem.at[:, pl.ds(sb, cb)]
         return pltpu.make_async_copy(src, dst, kv_sems.at[which, b])
 
     def kv_start(l):
@@ -302,8 +316,8 @@ def _mega_kernel(
 
             @pl.when(sb < pos)
             def _():
-                kv_copy(l, 0, b).start()
-                kv_copy(l, 1, b).start()
+                for w in range(len(kv_streams)):
+                    kv_copy(l, w, b).start()
 
     def kv_wait(l):
         for b in range(n_kvb):
@@ -311,8 +325,8 @@ def _mega_kernel(
 
             @pl.when(sb < pos)
             def _():
-                kv_copy(l, 0, b).wait()
-                kv_copy(l, 1, b).wait()
+                for w in range(len(kv_streams)):
+                    kv_copy(l, w, b).wait()
 
     # ---- warmup: first LOOKAHEAD chunks of layer 0 + layer 0's K/V ------
     for j in range(min(LOOKAHEAD, n_sched)):
@@ -322,8 +336,13 @@ def _mega_kernel(
 
         @pl.when(sb >= pos)
         def _():
-            kbuf[sb:sb + cb, :] = jnp.zeros((cb, DKV), kbuf.dtype)
-            vbuf[sb:sb + cb, :] = jnp.zeros((cb, DKV), vbuf.dtype)
+            for _, dst, kind in kv_streams:
+                if kind == "rows":
+                    dst[sb:sb + cb, :] = jnp.zeros(
+                        (cb, dst.shape[-1]), dst.dtype)
+                else:
+                    dst[:, sb:sb + cb] = jnp.zeros(
+                        (dst.shape[0], cb), dst.dtype)
     kv_start(0)
 
     def stream_matmul(l, mat, xq, sx, j0):
@@ -387,6 +406,11 @@ def _mega_kernel(
             s_cache = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if kv_i8:
+                # int8 K rows: the per-row scale applies per score COLUMN
+                # ([1, S] lane broadcast) — cheaper than dequantizing the
+                # whole [S, D] block before the dot
+                s_cache = s_cache * ksbuf[h:h + 1, :]
             s_cache = jnp.where(valid, s_cache, _NEG)
             k_fresh = k_all[h:h + 1, :]
             s_fresh = jax.lax.dot_general(
@@ -397,6 +421,10 @@ def _mega_kernel(
             p_fresh = jnp.exp(s_fresh - m)
             denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
             vc = vbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
+            if kv_i8:
+                # fold the V row scales into the probabilities instead of
+                # dequantizing the [S, D] value block
+                p_cache = p_cache * vsbuf[h:h + 1, :]
             o = jax.lax.dot_general(p_cache, vc, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             attn_heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
@@ -404,8 +432,19 @@ def _mega_kernel(
 
         # fresh K/V rows land in the aligned [L, 8, DKV] output; the caller
         # scatters row 0 of each block into the cache at `pos`
-        fresh_k[l, 0:1, :] = k_all.reshape(1, DKV).astype(fresh_k.dtype)
-        fresh_v[l, 0:1, :] = v_all.reshape(1, DKV).astype(fresh_v.dtype)
+        if kv_i8:
+            for name, rows_f32, out_q, out_s in (
+                ("k", k_all, fresh_k, fresh_ks),
+                ("v", v_all, fresh_v, fresh_vs),
+            ):
+                amax = jnp.max(jnp.abs(rows_f32), axis=1, keepdims=True)
+                s = jnp.maximum(amax / 127.0, 1e-12)         # [NKV, 1]
+                q8 = jnp.clip(jnp.round(rows_f32 / s), -127, 127)
+                out_q[l, 0:1, :] = q8.astype(jnp.int8).reshape(1, DKV)
+                out_s[l, 0:1, :] = s.reshape(1, NKV)
+        else:
+            fresh_k[l, 0:1, :] = k_all.reshape(1, DKV).astype(fresh_k.dtype)
+            fresh_v[l, 0:1, :] = v_all.reshape(1, DKV).astype(fresh_v.dtype)
 
         # --- output projection + residual (casts mirror the XLA path:
         # matmul results drop to bf16, residual adds run in bf16)
@@ -472,25 +511,24 @@ def _mega_kernel(
 # host wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "interpret"),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def mega_decode_step(
+def _mega_call(
     mega: dict,
     cfg: DecoderConfig,
     x: jax.Array,        # [1, H] bf16 — embedded current token
     pos: jax.Array,      # scalar int32 — cache row / RoPE position
-    k_cache: jax.Array,  # [L, S, DKV] bf16 (flattened heads)
+    k_cache: jax.Array,  # [L, S, DKV] bf16 or int8 (flattened heads)
     v_cache: jax.Array,
-    interpret: bool = False,
+    k_scale,             # [L, S, NKV] f32 cache scales (int8) or None
+    v_scale,
+    interpret: bool,
 ):
-    """-> (next_token scalar int32, k_cache, v_cache, h_dbg). Caches are
-    donated; the kernel emits the fresh per-layer K/V rows and this wrapper
-    scatters them into the caches at row `pos` (one fused in-place
-    dynamic_update_slice — Mosaic can't DMA single unaligned HBM rows)."""
+    """Shared pallas_call builder. The kernel emits the fresh per-layer K/V
+    rows (+ scales in int8 mode) and the caller scatters them into the
+    caches at row `pos` (fused in-place dynamic_update_slice — Mosaic
+    can't DMA single unaligned HBM rows)."""
+    kv_i8 = k_cache.dtype == jnp.int8
     L, S, DKV = k_cache.shape
+    NKV = cfg.n_kv_heads
     H = cfg.hidden_size
     if S % 8:
         raise ValueError(f"cache rows S={S} must be a multiple of 8")
@@ -517,12 +555,26 @@ def mega_decode_step(
 
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks)
+        n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
 
-    tok, h_dbg, fresh_k, fresh_v = pl.pallas_call(
+    if kv_i8:
+        if S % 128 and not interpret:
+            raise ValueError(
+                f"int8-KV megakernel needs S % 128 == 0 (got {S}): the "
+                "scale arrays' lane dim is S and Mosaic DMA slices must "
+                "be 128-aligned")
+        ks_in, vs_in = k_scale, v_scale     # [L, NKV, S]
+        scale_buf_shape = (NKV, S)
+    else:
+        # dummies: never DMA'd, minimal footprint
+        ks_in = jnp.zeros((1, NKV, 8), jnp.float32)
+        vs_in = ks_in
+        scale_buf_shape = (NKV, 8)
+
+    tok, h_dbg, fresh_k, fresh_v, fresh_ks, fresh_vs = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[
@@ -532,22 +584,28 @@ def mega_decode_step(
             any_, any_, any_, any_, any_,            # weight tile packs
             any_, any_, any_, any_, any_,            # scale packs (HBM)
             any_, any_,                              # k/v caches
+            any_, any_,                              # k/v cache scales
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem, vmem],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   vmem, vmem, vmem, vmem, vmem],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),
             jax.ShapeDtypeStruct((L, 8, DKV), k_cache.dtype),
             jax.ShapeDtypeStruct((L, 8, DKV), v_cache.dtype),
+            jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),   # weight ring
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
             pltpu.VMEM((S, DKV), k_cache.dtype),
             pltpu.VMEM((S, DKV), v_cache.dtype),
+            pltpu.VMEM(scale_buf_shape, jnp.float32),       # k scales
+            pltpu.VMEM(scale_buf_shape, jnp.float32),       # v scales
             pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
             pltpu.SemaphoreType.DMA((NBUF,)),               # scale sems
-            pltpu.SemaphoreType.DMA((2, len(kv_blocks))),   # k/v sems
+            pltpu.SemaphoreType.DMA((4, len(kv_blocks))),   # k/v sems
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -559,11 +617,62 @@ def mega_decode_step(
         mega["head_q"],
         mega["qkv_s"], mega["wo_s"], mega["gu_s"], mega["wd_s"],
         mega["head_s"],
-        k_cache, v_cache,
+        k_cache, v_cache, ks_in, vs_in,
     )
     p = jnp.asarray(pos, jnp.int32)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, fresh_k[:, :1, :], (0, p, 0))
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, fresh_v[:, :1, :], (0, p, 0))
-    return tok[0, 0], k_cache, v_cache, h_dbg
+    if kv_i8:
+        # fresh scales: [L, 8, NKV] row 0 -> column `pos` of [L, NKV, S]
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, fresh_ks[:, 0, :, None], (0, 0, p))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, fresh_vs[:, 0, :, None], (0, 0, p))
+    return tok[0, 0], k_cache, v_cache, k_scale, v_scale, h_dbg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def mega_decode_step(
+    mega: dict,
+    cfg: DecoderConfig,
+    x: jax.Array,
+    pos: jax.Array,
+    k_cache: jax.Array,  # [L, S, DKV] bf16
+    v_cache: jax.Array,
+    interpret: bool = False,
+):
+    """bf16-KV decode step -> (next_token, k_cache, v_cache, h_dbg)."""
+    tok, k_cache, v_cache, _, _, h = _mega_call(
+        mega, cfg, x, pos, k_cache, v_cache, None, None, interpret)
+    return tok, k_cache, v_cache, h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
+)
+def mega_decode_step_i8(
+    mega: dict,
+    cfg: DecoderConfig,
+    x: jax.Array,
+    pos: jax.Array,
+    k_cache: jax.Array,  # [L, S, DKV] int8
+    v_cache: jax.Array,
+    k_scale: jax.Array,  # [L, NKV, S] f32 per-(row, head) scales,
+                         # transposed so the lane dim (S) is 128-tiled
+    v_scale: jax.Array,
+    interpret: bool = False,
+):
+    """int8-KV decode step: the cache stream (the context-length-
+    proportional term of the step's HBM traffic) is halved; rows carry
+    per-(row, head) f32 scales. -> (next_token, k_cache, v_cache,
+    k_scale, v_scale, h_dbg)."""
+    return _mega_call(
+        mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret)

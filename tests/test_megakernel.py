@@ -171,6 +171,51 @@ def test_megakernel_drift_vs_f32_oracle(setup):
     assert np.abs(hm - ho).max() <= 0.05 * den + 4.0 * np.abs(hx - ho).max()
 
 
+def test_megakernel_i8_kv_tracks_bf16(setup):
+    """int8-KV mode: same step on an int8-quantized copy of the cache must
+    track the bf16-KV kernel within KV-quantization error, and the fresh
+    rows it writes must follow decoder._quantize_kv_rows' exact math
+    (prefill with cache_dtype=int8 feeds this kernel directly)."""
+    from qwen3_asr_tpu.models.decoder import (
+        _dequantize_kv,
+        _quantize_kv_rows,
+    )
+    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i8
+
+    cfg, dec, mega = setup
+    S = 32
+    L = cfg.n_layers
+    NKV, D = cfg.n_kv_heads, cfg.head_dim
+    DKV = NKV * D
+    rng = np.random.default_rng(11)
+    k0 = jnp.asarray(rng.standard_normal((L, S, DKV)) * 0.4, jnp.bfloat16)
+    v0 = jnp.asarray(rng.standard_normal((L, S, DKV)) * 0.4, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)), jnp.bfloat16)
+    pos = jnp.int32(19)
+
+    _, kb, vb, h_b = mega_decode_step(mega, cfg, x, pos, jnp.array(k0),
+                                      jnp.array(v0), interpret=True)
+
+    kq, ks = _quantize_kv_rows(k0.reshape(L, S, NKV, D))
+    vq, vs = _quantize_kv_rows(v0.reshape(L, S, NKV, D))
+    _, kq2, vq2, ks2, vs2, h_i = mega_decode_step_i8(
+        mega, cfg, x, pos, kq.reshape(L, S, DKV), vq.reshape(L, S, DKV),
+        ks.transpose(0, 2, 1), vs.transpose(0, 2, 1), interpret=True)
+
+    hb = np.asarray(h_b, np.float32).ravel()
+    hi = np.asarray(h_i, np.float32).ravel()
+    rel = np.linalg.norm(hi - hb) / max(np.linalg.norm(hb), 1e-6)
+    assert rel < 0.05, rel
+
+    # fresh rows: dequantized int8 row tracks the bf16 fresh row
+    p = int(pos)
+    fb = np.asarray(kb[:, p, :], np.float32)          # [L, DKV] bf16 row
+    fi = np.asarray(_dequantize_kv(
+        kq2.reshape(L, S, NKV, D),
+        ks2.transpose(0, 2, 1))[:, p], np.float32).reshape(L, DKV)
+    np.testing.assert_allclose(fi, fb, atol=0.05, rtol=0.05)
+
+
 def test_megakernel_pack_requires_int8pc_fused(setup):
     cfg, _, _ = setup
     dense = init_decoder_params(cfg, jax.random.PRNGKey(4), jnp.bfloat16)
