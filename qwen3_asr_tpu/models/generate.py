@@ -255,6 +255,79 @@ def generate_greedy_streaming(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "max_tokens"),
+)
+def generate_greedy_batch_mega(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,        # [B, P] int32, prompts padded to bucket P
+    n_prompt: jax.Array,      # [B] int32 real prompt lengths
+    audio: jax.Array,         # [B, N_max, hidden]
+    n_audio: jax.Array,       # [B] int32
+    audio_offset: int,
+    max_tokens: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched greedy generation through the batched decode megakernel
+    (ops/megakernel_batch.py): per step the int8 weight stream is read
+    once for the whole batch. int8 KV cache (the batched kernel's only
+    mode). Per-sequence EOS: a finished sequence keeps stepping in
+    lockstep (its outputs are frozen) until all finish or the budget runs
+    out. Returns (out [B, max_tokens], n_kept [B])."""
+    from qwen3_asr_tpu.ops.megakernel_batch import mega_decode_step_batch
+
+    B, P = tokens.shape
+    S = -(-(P + max_tokens) // 128) * 128
+    L = cfg.n_layers
+    DKV = cfg.n_kv_heads * cfg.head_dim
+
+    def one_prefill(tk, npr, au, na):
+        cache = init_kv_cache(cfg, S, jnp.int8)
+        h0 = embed_with_audio(dec_params, tk, au, na, audio_offset)
+        h, cache = decoder_forward(
+            dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
+            cache_offset=jnp.int32(0), kv_valid_len=npr, prefill=True,
+        )
+        h_last = jax.lax.dynamic_index_in_dim(h, npr - 1, axis=0,
+                                              keepdims=False)
+        first = jnp.argmax(lm_logits(dec_params, cfg, h_last))
+        return first.astype(jnp.int32), cache
+
+    first, cache = jax.vmap(one_prefill)(tokens, n_prompt, audio, n_audio)
+
+    kq = cache["k"].reshape(B, L, S, DKV)
+    vq = cache["v"].reshape(B, L, S, DKV)
+    ks = cache["k_s"].transpose(0, 1, 3, 2)   # -> [B, L, NKV, S]
+    vs = cache["v_s"].transpose(0, 1, 3, 2)
+
+    out0 = jnp.zeros((B, max_tokens), jnp.int32).at[:, 0].set(first)
+    done0 = first == cfg.eos_token_id
+    nk0 = jnp.where(done0, 0, 1).astype(jnp.int32)
+
+    def cond(state):
+        i, done = state[0], state[1]
+        return (~done.all()) & (i < max_tokens)
+
+    def body(state):
+        i, done, cur, nk, kq, vq, ks, vs, out = state
+        pos = (n_prompt + i).astype(jnp.int32)          # [B]
+        x = jnp.take(dec_params["token_embd"], cur, axis=0)
+        nxt, kq, vq, ks, vs, _ = mega_decode_step_batch(
+            dec_params["mega"], cfg, x, pos, kq, vq, ks, vs)
+        # finished sequences keep emitting their EOS (frozen outputs)
+        nxt = jnp.where(done, cur, nxt)
+        out = out.at[:, i].set(jnp.where(done, out[:, i], nxt))
+        now_done = done | (nxt == cfg.eos_token_id)
+        nk = jnp.where(done, nk, jnp.where(
+            nxt == cfg.eos_token_id, i, i + 1)).astype(jnp.int32)
+        return i + 1, now_done, nxt, nk, kq, vq, ks, vs, out
+
+    state = (jnp.int32(1), done0, first, nk0, kq, vq, ks, vs, out0)
+    final = jax.lax.while_loop(cond, body, state)
+    return final[-1], final[3]
+
+
 def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int,
                 n_valid=None):
     """Single non-autoregressive causal pass -> per-position hidden states.

@@ -1,0 +1,442 @@
+"""Batched whole-decode-step megakernel (Pallas, TPU) — the serving path.
+
+One pallas_call advances B sequences by one token each: the int8 weight
+stream (the dominant HBM term at B=1) is read ONCE per step and amortized
+over the batch, while each sequence's int8 KV prefix streams through a
+double-buffered slab ring. Per-step HBM bytes ~= weights + B * live KV —
+aggregate throughput scales with B until the KV term dominates.
+
+Structure mirrors ops/megakernel.py (same weight pack, same DMA ring, same
+activation-quant math); the differences are [B, ·] activation rows with
+per-row quant scales, per-sequence positions/RoPE/masks, a KV slab ring
+instead of a single resident cache slab, and a per-row lm-head argmax.
+int8 KV only: B bf16 cache slabs would not fit VMEM.
+
+Reference point: the reference engine is strictly single-stream
+(qwen3_asr.cpp:216-303); batching is a capability the TPU port adds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qwen3_asr_tpu.config import DecoderConfig
+from qwen3_asr_tpu.ops.megakernel import (
+    CHUNK_IN,
+    KV_BLOCK,
+    LOOKAHEAD,
+    NBUF,
+    _NEG,
+    _rms_f32,
+    _rope_row,
+    _schedule,
+)
+
+NSLAB = 2  # KV slab ring depth (per stream): seq b+1 streams while b attends
+
+
+def _quant_rows(xf):
+    """f32 [B, n] -> (int8 [B, n], f32 [B, 1] per-row scales)."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _mega_batch_kernel(
+    # inputs
+    pos_ref,            # SMEM [B] int32: per-seq cache row / RoPE position
+    x_ref,              # VMEM [B, H] bf16: embedded current tokens
+    norms,              # VMEM [L, 8, H] f32
+    out_norm,           # VMEM [1, H] f32
+    qkv_q, wo_q, gu_q, wd_q, head_q,       # ANY (HBM) int8 tile packs
+    qkv_s, wo_s, gu_s, wd_s, head_s,       # ANY (HBM) scale packs
+    k_in, v_in,         # ANY (HBM) [B, L, S, DKV] int8 caches
+    ks_in, vs_in,       # ANY (HBM) [B, L, NKV, S] f32 cache scales
+    # outputs
+    tok_out,            # VMEM [B, 1] int32 greedy tokens
+    h_out,              # VMEM [B, H] f32 (pre-norm hidden, debugging)
+    fresh_k, fresh_v,   # VMEM [B, L, 8, DKV] int8 — row 0 per (b, l)
+    fresh_ks, fresh_vs,  # VMEM [B, L, 8, NKV] f32
+    # scratch
+    wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
+    sbufs,              # VMEM [NBUF, 8, co_max] f32
+    kbuf, vbuf,         # VMEM [NSLAB, S, DKV] int8 KV slab rings
+    ksbuf, vsbuf,       # VMEM [NSLAB, NKV, S] f32 scale slab rings
+    sems, ssems, kv_sems,
+    *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L, B,
+    kv_blocks,
+):
+    H = cfg.hidden_size
+    NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    DQ, DKV, FF = NH * D, NKV * D, cfg.intermediate_size
+    eps, theta = cfg.rms_norm_eps, cfg.rope_theta
+    scale = 1.0 / float(np.sqrt(D))
+    group = NH // NKV
+    n_sched = len(sched)
+    n_kvb = len(kv_blocks)
+
+    hbm = {"qkv": qkv_q, "wo": wo_q, "gu": gu_q, "wd": wd_q}
+    hbm_s = {"qkv": qkv_s, "wo": wo_s, "gu": gu_s, "wd": wd_s}
+
+    # ---- weight chunk ring (identical scheme to megakernel.py) ----------
+    def chunk_dma(entry, l, slot):
+        mat, oi, ii, ci, co = entry
+        src = hbm[mat].at[l, oi, pl.ds(ii * CHUNK_IN, ci), :]
+        return pltpu.make_async_copy(
+            src, wbufs.at[slot, pl.ds(0, ci), pl.ds(0, co)], sems.at[slot])
+
+    def scale_dma(entry, l, slot):
+        mat, oi, ii, ci, co = entry
+        return pltpu.make_async_copy(
+            hbm_s[mat].at[l, oi],
+            sbufs.at[slot, :, pl.ds(0, co)], ssems.at[slot])
+
+    def head_dma(hi, slot):
+        return pltpu.make_async_copy(
+            head_q.at[hi], wbufs.at[slot, pl.ds(0, H), pl.ds(0, co_h)],
+            sems.at[slot])
+
+    def head_scale_dma(hi, slot):
+        return pltpu.make_async_copy(
+            head_s.at[hi], sbufs.at[slot, :, pl.ds(0, co_h)],
+            ssems.at[slot])
+
+    def start(j, l):
+        slot = (l * n_sched + j) % NBUF
+        if j < n_sched:
+            chunk_dma(sched[j], l, slot).start()
+            if sched[j][2] == 0:
+                scale_dma(sched[j], l, slot).start()
+        else:
+            wrapped = j - n_sched
+
+            @pl.when(l + 1 < L)
+            def _():
+                chunk_dma(sched[wrapped], l + 1, slot).start()
+                if sched[wrapped][2] == 0:
+                    scale_dma(sched[wrapped], l + 1, slot).start()
+
+            if wrapped < n_hc:
+                @pl.when(l + 1 == L)
+                def _():
+                    head_dma(wrapped, slot).start()
+                    head_scale_dma(wrapped, slot).start()
+
+    # ---- KV slab ring: slot g = (l * B + b) % NSLAB per stream ----------
+    kv_streams = [(k_in, kbuf, "rows"), (v_in, vbuf, "rows"),
+                  (ks_in, ksbuf, "scales"), (vs_in, vsbuf, "scales")]
+
+    def kv_copy(l, b, which, blk, slot):
+        sb, cb = kv_blocks[blk]
+        src_hbm, dst_vmem, kind = kv_streams[which]
+        if kind == "rows":
+            src = src_hbm.at[b, l, pl.ds(sb, cb), :]
+            dst = dst_vmem.at[slot, pl.ds(sb, cb), :]
+        else:
+            src = src_hbm.at[b, l, :, pl.ds(sb, cb)]
+            dst = dst_vmem.at[slot, :, pl.ds(sb, cb)]
+        return pltpu.make_async_copy(src, dst,
+                                     kv_sems.at[which, slot, blk])
+
+    def kv_start(l, b):
+        """Issue seq b's four KV streams for layer l (block-gated on
+        pos[b]). b is STATIC; l may be dynamic."""
+        slot = b % NSLAB
+        p = pos_ref[b]
+        for blk in range(n_kvb):
+            sb, _ = kv_blocks[blk]
+
+            @pl.when(sb < p)
+            def _():
+                for w in range(4):
+                    kv_copy(l, b, w, blk, slot).start()
+
+    def kv_wait(l, b):
+        slot = b % NSLAB
+        p = pos_ref[b]
+        for blk in range(n_kvb):
+            sb, _ = kv_blocks[blk]
+
+            @pl.when(sb < p)
+            def _():
+                for w in range(4):
+                    kv_copy(l, b, w, blk, slot).wait()
+
+    # ---- warmup ---------------------------------------------------------
+    for j in range(min(LOOKAHEAD, n_sched)):
+        start(j, 0)
+    # zero the slab rings once: slabs are reused across (l, b) with
+    # per-sequence block gating, so any never-copied region must hold
+    # finite values (stale rows are masked; garbage could be NaN)
+    for s in range(NSLAB):
+        kbuf[s] = jnp.zeros((S, DKV), kbuf.dtype)
+        vbuf[s] = jnp.zeros((S, DKV), vbuf.dtype)
+        ksbuf[s] = jnp.zeros((NKV, S), jnp.float32)
+        vsbuf[s] = jnp.zeros((NKV, S), jnp.float32)
+    for b in range(min(NSLAB, B)):
+        kv_start(0, b)
+
+    def stream_matmul(l, mat, xq, sx, j0):
+        """[B, n_in] int8 rows x streamed chunks -> (f32 [B, n_out], j)."""
+        n_oc, n_in, co = shapes[mat]
+        n_ic = -(-n_in // CHUNK_IN)
+        outs = []
+        j = j0
+        for oi in range(n_oc):
+            acc = None
+            s_row = None
+            for ii in range(n_ic):
+                entry = sched[j]
+                slot = (l * n_sched + j) % NBUF
+                chunk_dma(entry, l, slot).wait()
+                if ii == 0:
+                    scale_dma(entry, l, slot).wait()
+                    s_row = sbufs[slot, 0:1, :co]
+                start(j + LOOKAHEAD, l)
+                ci = entry[3]
+                xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
+                                   (B, ii * CHUNK_IN + ci))
+                part = jax.lax.dot_general(
+                    xs, wbufs[slot, :ci, :co],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = part if acc is None else acc + part
+                j += 1
+            outs.append(acc.astype(jnp.float32) * (sx * s_row))
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0], j
+
+    # ---- layers ---------------------------------------------------------
+    def layer(l, x_bf16):
+        xf = _rms_f32(x_bf16, norms[l, 0:1, :], eps).astype(jnp.bfloat16)
+        xq, sx = _quant_rows(xf.astype(jnp.float32))
+        qkv_f32, j = stream_matmul(l, "qkv", xq, sx, 0)
+        qkv = qkv_f32.astype(jnp.bfloat16)
+
+        attn_rows = []
+        for b in range(B):  # static
+            kv_wait(l, b)
+            slot = b % NSLAB
+            p = pos_ref[b]
+            rows = qkv[b].reshape(NH + 2 * NKV, D)
+            q_all = _rope_row(
+                _rms_f32(rows[:NH, :], norms[l, 2:3, 0:D], eps), p,
+                theta) * scale
+            k_all = _rope_row(
+                _rms_f32(rows[NH:NH + NKV, :], norms[l, 3:4, 0:D], eps),
+                p, theta)
+            v_all = rows[NH + NKV:, :].astype(jnp.float32)
+
+            col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
+            valid = col < p
+            heads = []
+            for h in range(NKV):
+                q = q_all[h * group:(h + 1) * group, :]
+                kc = kbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32)
+                s_cache = jax.lax.dot_general(
+                    q, kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_cache = s_cache * ksbuf[slot, h:h + 1, :]
+                s_cache = jnp.where(valid, s_cache, _NEG)
+                k_fresh = k_all[h:h + 1, :]
+                s_fresh = jax.lax.dot_general(
+                    q, k_fresh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = jnp.maximum(
+                    jnp.max(s_cache, axis=1, keepdims=True), s_fresh)
+                p_cache = jnp.exp(s_cache - m)
+                p_fresh = jnp.exp(s_fresh - m)
+                denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
+                vc = vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32)
+                p_cache = p_cache * vsbuf[slot, h:h + 1, :]
+                o = jax.lax.dot_general(
+                    p_cache, vc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
+
+            # fresh rows (quantized like decoder._quantize_kv_rows)
+            for rows_f32, out_q, out_s in ((k_all, fresh_k, fresh_ks),
+                                           (v_all, fresh_v, fresh_vs)):
+                amax = jnp.max(jnp.abs(rows_f32), axis=1, keepdims=True)
+                s8 = jnp.maximum(amax / 127.0, 1e-12)
+                q8 = jnp.clip(jnp.round(rows_f32 / s8), -127, 127)
+                out_q[b, l, 0:1, :] = q8.astype(jnp.int8).reshape(1, DKV)
+                out_s[b, l, 0:1, :] = s8.reshape(1, NKV)
+
+            # refill this slab with the next sequence needing it
+            if B > NSLAB:
+                nb = b + NSLAB
+                if nb < B:
+                    kv_start(l, nb)
+            attn_rows.append(
+                jnp.concatenate(heads, axis=0).reshape(1, DQ))
+        # next layer's first slabs prefetch during this layer's MLP
+        for b in range(min(NSLAB, B)):
+            @pl.when(l + 1 < L)
+            def _():
+                kv_start(l + 1, b)
+
+        attn = jnp.concatenate(attn_rows, axis=0)  # [B, DQ]
+        attn_bf = attn.astype(jnp.bfloat16)
+        xq2, sx2 = _quant_rows(attn_bf.astype(jnp.float32))
+        wo_f32, j = stream_matmul(l, "wo", xq2, sx2, j)
+        h1 = x_bf16 + wo_f32.astype(jnp.bfloat16)
+
+        xn2 = _rms_f32(h1, norms[l, 1:2, :], eps).astype(jnp.bfloat16)
+        xq3, sx3 = _quant_rows(xn2.astype(jnp.float32))
+        gu_f32, j = stream_matmul(l, "gu", xq3, sx3, j)
+        gu = gu_f32.astype(jnp.bfloat16)
+        g32 = gu[:, :FF].astype(jnp.float32)
+        u32 = gu[:, FF:].astype(jnp.float32)
+        act = (g32 * jax.lax.logistic(g32)) * u32
+        xq4, sx4 = _quant_rows(act.astype(jnp.bfloat16).astype(jnp.float32))
+        wd_f32, j = stream_matmul(l, "wd", xq4, sx4, j)
+        assert j == n_sched
+        return h1 + wd_f32.astype(jnp.bfloat16)
+
+    x = jax.lax.fori_loop(0, L, layer, x_ref[:], unroll=False)
+    h_out[:] = x.astype(jnp.float32)
+
+    # ---- final norm + lm head + per-row argmax --------------------------
+    xf = _rms_f32(x, out_norm[0:1, :], eps).astype(jnp.bfloat16)
+    xq, sx = _quant_rows(xf.astype(jnp.float32))
+    best_val = jnp.full((B, 1), _NEG, jnp.float32)
+    best_idx = jnp.zeros((B, 1), jnp.int32)
+    for hi in range(n_hc):
+        slot = (L * n_sched + hi) % NBUF
+        head_dma(hi, slot).wait()
+        head_scale_dma(hi, slot).wait()
+        s_row = sbufs[slot, 0:1, :co_h]
+        if hi + LOOKAHEAD < n_hc:
+            slot_n = (L * n_sched + hi + LOOKAHEAD) % NBUF
+            head_dma(hi + LOOKAHEAD, slot_n).start()
+            head_scale_dma(hi + LOOKAHEAD, slot_n).start()
+        acc = jax.lax.dot_general(
+            xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc.astype(jnp.float32) * (sx * s_row)   # [B, co_h]
+        cols = hi * co_h + jax.lax.broadcasted_iota(
+            jnp.int32, (B, co_h), 1)
+        logits = jnp.where(cols < V, logits, _NEG)
+        m = jnp.max(logits, axis=1, keepdims=True)        # [B, 1]
+        idx = jnp.min(jnp.where(logits >= m, cols, jnp.int32(2**30)),
+                      axis=1, keepdims=True)
+        best_idx = jnp.where(m > best_val, idx.astype(jnp.int32), best_idx)
+        best_val = jnp.maximum(m, best_val)
+    tok_out[:] = best_idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
+)
+def mega_decode_step_batch(
+    mega: dict,
+    cfg: DecoderConfig,
+    x: jax.Array,        # [B, H] bf16 — embedded current tokens
+    pos: jax.Array,      # [B] int32 — per-seq cache row / RoPE position
+    k_cache: jax.Array,  # [B, L, S, DKV] int8
+    v_cache: jax.Array,
+    k_scale: jax.Array,  # [B, L, NKV, S] f32
+    v_scale: jax.Array,
+    interpret: bool = False,
+):
+    """-> (next_tokens [B] int32, k_cache, v_cache, k_scale, v_scale,
+    h_dbg [B, H]). Same scatter contract as mega_decode_step_i8, per
+    sequence at its own position."""
+    B, L, S, DKV = k_cache.shape
+    NKV = cfg.n_kv_heads
+    H = cfg.hidden_size
+    if S % 128 and not interpret:
+        raise ValueError(f"batched megakernel needs S % 128 == 0 (got {S})")
+
+    shapes = {}
+    for mat in ("qkv", "wo", "gu", "wd"):
+        q = mega[f"{mat}_q"]
+        shapes[mat] = (q.shape[1], q.shape[2], q.shape[3])
+    sched = tuple(_schedule(shapes))
+    n_hc, _, co_h = mega["head_q"].shape
+    co_max = max(co_h, *(s[2] for s in shapes.values()))
+    ci_max = max(H, *(min(CHUNK_IN, s[1]) for s in shapes.values()))
+    V = min(int(mega["head_s"].shape[0] * co_h), cfg.vocab_size)
+
+    # coarser blocks than the single-seq kernel: 4 streams x B sequences
+    # multiply the DMA-issue count, which is scalar-core work
+    kv_blk = 2 * KV_BLOCK
+    kv_blocks = []
+    sb = 0
+    while sb < S:
+        cb = min(kv_blk, S - sb)
+        kv_blocks.append((sb, cb))
+        sb += cb
+    kv_blocks = tuple(kv_blocks)
+
+    kernel = functools.partial(
+        _mega_batch_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
+        n_hc=n_hc, co_h=co_h, V=V, L=L, B=B, kv_blocks=kv_blocks)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+
+    tok, h_dbg, fresh_k, fresh_v, fresh_ks, fresh_vs = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
+            vmem,                                    # x
+            vmem, vmem,                              # norms, out_norm
+            any_, any_, any_, any_, any_,
+            any_, any_, any_, any_, any_,
+            any_, any_, any_, any_,                  # caches + scales
+        ],
+        out_specs=[vmem, vmem, vmem, vmem, vmem, vmem],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, 8, DKV), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, L, 8, DKV), v_cache.dtype),
+            jax.ShapeDtypeStruct((B, L, 8, NKV), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, 8, NKV), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),
+            pltpu.VMEM((NBUF, 8, co_max), jnp.float32),
+            pltpu.VMEM((NSLAB, S, DKV), k_cache.dtype),
+            pltpu.VMEM((NSLAB, S, DKV), v_cache.dtype),
+            pltpu.VMEM((NSLAB, NKV, S), jnp.float32),
+            pltpu.VMEM((NSLAB, NKV, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((4, NSLAB, len(kv_blocks))),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        jnp.asarray(pos, jnp.int32),
+        x.astype(jnp.bfloat16),
+        mega["norms"], mega["out_norm"],
+        mega["qkv_q"], mega["wo_q"], mega["gu_q"], mega["wd_q"],
+        mega["head_q"],
+        mega["qkv_s"], mega["wo_s"], mega["gu_s"], mega["wd_s"],
+        mega["head_s"],
+        k_cache, v_cache, k_scale, v_scale,
+    )
+    # scatter each sequence's fresh row at its own position
+    p = jnp.asarray(pos, jnp.int32)
+    for b in range(k_cache.shape[0]):
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, fresh_k[b:b + 1, :, :1, :], (b, 0, p[b], 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, fresh_v[b:b + 1, :, :1, :], (b, 0, p[b], 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, fresh_ks[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, fresh_vs[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
+    return tok[:, 0], k_cache, v_cache, k_scale, v_scale, h_dbg

@@ -20,21 +20,27 @@ def has_pallas_tpu() -> bool:
         return False
     if jax.default_backend() == "cpu":
         return False
-    # The probe is retried: a transient backend/tunnel error here would
-    # otherwise cache False and silently disable every Pallas fast path
-    # (flash attention, decode-attention, the decode megakernel) for the
-    # life of the process — observed in practice on a network-attached
-    # chip, costing ~35% decode throughput with no diagnostic.
+    # Two hardening layers, both learned the hard way:
+    # 1. ensure_compile_time_eval: the first call often happens while
+    #    TRACING a jitted caller (generate_greedy checks this flag). A
+    #    traced probe returns a tracer, bool() raises, and the except
+    #    branch would cache False — silently disabling every Pallas fast
+    #    path (megakernel/flash/decode-attention) for the process, purely
+    #    depending on call order.
+    # 2. retry: a transient backend/tunnel error must not cache False
+    #    either.
     last: Exception | None = None
     for attempt in range(3):
         try:
             def k(x_ref, o_ref):
                 o_ref[:] = x_ref[:] * 2.0
 
-            out = pl.pallas_call(
-                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
-            )(jnp.ones((8, 128), jnp.float32))
-            return bool(out[0, 0] == 2.0)
+            with jax.ensure_compile_time_eval():
+                out = pl.pallas_call(
+                    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+                )(jnp.ones((8, 128), jnp.float32))
+                ok = bool(out[0, 0] == 2.0)
+            return ok
         except Exception as e:
             last = e
             time.sleep(0.5 * (attempt + 1))

@@ -196,9 +196,25 @@ def batched_transcribe_step(
     """
     from qwen3_asr_tpu.models.generate import generate_greedy
 
-    # the whole-step megakernel is single-sequence (manual DMA ring, no
-    # batch dim) — the batched path uses the vmappable XLA step
-    if "mega" in dec_params:
+    if "mega" in dec_params and mesh is None:
+        from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+        if has_pallas_tpu():
+            # single-device batched megakernel: one Pallas launch advances
+            # the whole batch one token; the int8 weight stream is read
+            # once per step instead of once per sequence. 2978 tok/s
+            # aggregate at B=8 vs 803 for the vmapped XLA step (v5e).
+            from qwen3_asr_tpu.models.generate import (
+                generate_greedy_batch_mega,
+            )
+
+            return generate_greedy_batch_mega(
+                dec_params, cfg, tokens, n_prompt, audio, n_audio,
+                audio_offset, max_tokens)
+        dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
+    elif "mega" in dec_params:
+        # multi-chip meshes use the vmappable XLA step (the megakernel's
+        # manual DMA ring has no sharding story)
         dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
 
     # note: the pallas decode-attention kernel stays ON under vmap —

@@ -1,0 +1,71 @@
+"""Batched decode megakernel vs B independent single-seq i8 steps
+(interpret mode). Same weights, same caches: each sequence's next token,
+hidden state, and freshly written cache rows must match the single-seq
+kernel exactly up to f32 reduction order."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.ops.megakernel import (
+    mega_decode_step_i8,
+    pack_megakernel_params,
+)
+from qwen3_asr_tpu.ops.megakernel_batch import mega_decode_step_batch
+from qwen3_asr_tpu.runtime.params import (
+    fuse_decoder_params,
+    init_decoder_params,
+    quantize_decoder_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_asr_config().decoder
+    dec = init_decoder_params(cfg, jax.random.PRNGKey(3), jnp.bfloat16)
+    dec = jax.tree.map(lambda x: np.asarray(x), dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    mega = pack_megakernel_params(dec, cfg)
+    return cfg, dec, mega
+
+
+def test_batch_matches_single_seq(setup):
+    cfg, dec, mega = setup
+    B, S = 3, 32
+    L = cfg.n_layers
+    NKV, D = cfg.n_kv_heads, cfg.head_dim
+    DKV = NKV * D
+    H = cfg.hidden_size
+    rng = np.random.default_rng(5)
+
+    kq = jnp.asarray(rng.integers(-127, 128, (B, L, S, DKV)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, L, S, DKV)), jnp.int8)
+    ks = jnp.asarray(np.abs(rng.standard_normal((B, L, NKV, S))) * 0.01
+                     + 1e-4, jnp.float32)
+    vs = jnp.asarray(np.abs(rng.standard_normal((B, L, NKV, S))) * 0.01
+                     + 1e-4, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, H)), jnp.bfloat16)
+    pos = jnp.asarray([7, 19, 12], jnp.int32)
+
+    tok_b, kq2, vq2, ks2, vs2, h_b = mega_decode_step_batch(
+        mega, cfg, x, pos, jnp.array(kq), jnp.array(vq),
+        jnp.array(ks), jnp.array(vs), interpret=True)
+
+    for b in range(B):
+        tok_s, kq1, vq1, ks1, vs1, h_s = mega_decode_step_i8(
+            mega, cfg, x[b:b + 1], pos[b],
+            jnp.array(kq[b]), jnp.array(vq[b]),
+            jnp.array(ks[b]), jnp.array(vs[b]), interpret=True)
+        assert int(tok_b[b]) == int(tok_s), b
+        np.testing.assert_allclose(
+            np.asarray(h_b[b], np.float32), np.asarray(h_s[0], np.float32),
+            atol=1e-2, rtol=1e-2, err_msg=f"hidden, seq {b}")
+        p = int(pos[b])
+        np.testing.assert_array_equal(
+            np.asarray(kq2[b, :, p, :]), np.asarray(kq1[:, p, :]),
+            err_msg=f"fresh k row, seq {b}")
+        np.testing.assert_allclose(
+            np.asarray(ks2[b, :, :, p]), np.asarray(ks1[:, :, p]),
+            rtol=1e-6, err_msg=f"fresh k scale, seq {b}")
