@@ -46,6 +46,9 @@ def main():
     t = np.arange(int(seconds * 16000)) / 16000
     audio = (0.3 * np.sin(2 * np.pi * 440 * t)
              + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    # int16 PCM like the WAV loading path (load_wav raw_int16) — the real
+    # workload's dtype; f32 doubles the host->device copy
+    audio = (audio * 32767.0).clip(-32768, 32767).astype(np.int16)
     # 183 plain-ASCII words, byte-tokenized (~5 tokens/word + 2 ts slots)
     text = " ".join(f"word{i:03d}" for i in range(n_words))
 

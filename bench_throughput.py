@@ -45,9 +45,12 @@ def main():
 
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * 16000)) / 16000
+    # int16 PCM like the WAV loading path (load_wav raw_int16) — the real
+    # workload's dtype; f32 doubles the host->device copy
     audios = [
-        (0.3 * np.sin(2 * np.pi * (300 + 40 * b) * t)
-         + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+        ((0.3 * np.sin(2 * np.pi * (300 + 40 * b) * t)
+          + 0.05 * rng.standard_normal(t.shape)) * 32767.0)
+        .clip(-32768, 32767).astype(np.int16)
         for b in range(B)
     ]
     params = TranscribeParams(max_tokens=n_tokens, print_timing=False,

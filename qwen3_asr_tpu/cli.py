@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8pc (per-channel W8A8, the benchmarked-fastest "
                         "config) for dense GGUFs and leaves Q8_0 files on "
                         "their native int8 blocks; 'none' forces dense")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (per-row, per-head scales). With "
+                        "the decode megakernel this is the fastest decode "
+                        "config (931 vs 817 tok/s on a v5e); slightly "
+                        "perturbs logits vs the default bf16 cache")
     p.add_argument("--fused", action="store_true", default=True,
                    help="Run each pipeline leg as ONE fused device program "
                         "(default; the benchmarked-fastest path)")
@@ -147,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from qwen3_asr_tpu.pipeline.combined import transcribe_and_align
 
-        asr = Qwen3ASR(dtype=dtype, quantize=quantize)
+        asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8)
         if not asr.load_model(args.model):
             _eprint(f"Error (ASR): {asr.error_msg}")
             return 1
@@ -228,7 +233,7 @@ def main(argv: list[str] | None = None) -> int:
     _eprint(f"  Audio: {args.audio}")
     _eprint(f"  Threads: {args.threads}\n")
 
-    asr = Qwen3ASR(dtype=dtype, quantize=quantize)
+    asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8)
     if not asr.load_model(args.model):
         _eprint(f"Error: {asr.error_msg}")
         return 1

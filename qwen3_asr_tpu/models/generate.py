@@ -257,7 +257,7 @@ def generate_greedy_streaming(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "audio_offset", "max_tokens"),
+    static_argnames=("cfg", "audio_offset", "max_tokens", "interpret"),
 )
 def generate_greedy_batch_mega(
     dec_params: dict,
@@ -268,6 +268,7 @@ def generate_greedy_batch_mega(
     n_audio: jax.Array,       # [B] int32
     audio_offset: int,
     max_tokens: int,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched greedy generation through the batched decode megakernel
     (ops/megakernel_batch.py): per step the int8 weight stream is read
@@ -314,7 +315,8 @@ def generate_greedy_batch_mega(
         pos = (n_prompt + i).astype(jnp.int32)          # [B]
         x = jnp.take(dec_params["token_embd"], cur, axis=0)
         nxt, kq, vq, ks, vs, _ = mega_decode_step_batch(
-            dec_params["mega"], cfg, x, pos, kq, vq, ks, vs)
+            dec_params["mega"], cfg, x, pos, kq, vq, ks, vs,
+            interpret=interpret)
         # finished sequences keep emitting their EOS (frozen outputs)
         nxt = jnp.where(done, cur, nxt)
         out = out.at[:, i].set(jnp.where(done, out[:, i], nxt))

@@ -68,7 +68,7 @@ class TranscribeResult:
 class Qwen3ASR:
     """End-to-end speech-to-text (model: Qwen3-ASR-0.6B GGUF)."""
 
-    def __init__(self, dtype=jnp.bfloat16, quantize=False):
+    def __init__(self, dtype=jnp.bfloat16, quantize=False, kv_int8=False):
         self.dtype = dtype
         # quantize: False (dense), True/"q8_0" (GGUF Q8_0 semantics, Pallas
         # dequant kernels — BASELINE.json config 4), "int8pc" (per-channel
@@ -76,6 +76,12 @@ class Qwen3ASR:
         # no-op when the GGUF already ships int8 blocks). Both int8 modes
         # halve the HBM weight traffic that bounds decode speed.
         self.quantize = "q8_0" if quantize is True else quantize
+        # kv_int8: int8 KV cache (per-(row, head) scales). With the decode
+        # megakernel this halves the context-proportional HBM term:
+        # 931 vs 817 tok/s on the 92 s workload (v5e). Off by default —
+        # the reference keeps an F16 cache (text_decoder.cpp:337-386) and
+        # KV quantization slightly perturbs logits.
+        self.kv_int8 = bool(kv_int8)
         self.cfg: ASRModelConfig | None = None
         self.params = None
         self.tokenizer: BPETokenizer | None = None
@@ -162,12 +168,12 @@ class Qwen3ASR:
         return "" if already else "int8pc"
 
     def _cache_dtype(self):
-        # bf16 cache measured FASTER than int8 even in the int8 decode
-        # config (507 vs 591 tok/s on the v5e): the per-step quantize-on-
-        # write + in-kernel dequant cost more than the ~90 MB/step saved.
-        # jnp.int8 remains supported (generate_greedy cache_dtype) for
-        # long-context memory pressure.
-        return jnp.bfloat16
+        # bf16 default. Historical note: on the XLA decode path int8 KV
+        # measured SLOWER (507 vs 591 tok/s — quantize-on-write + dequant
+        # cost more than the bytes saved); the megakernel reads the int8
+        # rows natively and flips the sign (931 vs 817 tok/s), so kv_int8
+        # is worth it exactly when the megakernel is active.
+        return jnp.int8 if self.kv_int8 else jnp.bfloat16
 
     # -- transcription -------------------------------------------------------
 

@@ -31,6 +31,42 @@ def setup():
     return cfg, dec, mega
 
 
+def test_generate_batch_mega_matches_xla_int8(setup):
+    """End-to-end glue: generate_greedy_batch_mega (interpret kernel) vs
+    the vmapped XLA int8-cache greedy path — same prompts, same weights,
+    token-for-token equal on the tiny config, with per-seq EOS/n_kept
+    bookkeeping intact."""
+    from qwen3_asr_tpu.models.generate import (
+        generate_greedy,
+        generate_greedy_batch_mega,
+    )
+
+    cfg, dec, mega = setup
+    dec = dict(dec)
+    dec["mega"] = mega
+    B, P, MAX = 2, 16, 5
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(1, 200, (B, P)), jnp.int32)
+    n_prompt = jnp.asarray([12, 16], jnp.int32)
+    audio = jnp.zeros((B, 4, cfg.hidden_size), jnp.bfloat16)
+    n_audio = jnp.zeros((B,), jnp.int32)
+
+    out_b, nk_b = generate_greedy_batch_mega(
+        dec, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,
+        interpret=True)
+
+    dec_nomega = {k: v for k, v in dec.items() if k != "mega"}
+    for b in range(B):
+        out_s, nk_s = generate_greedy(
+            dec_nomega, cfg, tokens[b], n_prompt[b], audio[b], n_audio[b],
+            0, MAX, cache_dtype=jnp.int8)
+        assert int(nk_b[b]) == int(nk_s), b
+        n = int(nk_s)
+        np.testing.assert_array_equal(
+            np.asarray(out_b[b, :n]), np.asarray(out_s[:n]),
+            err_msg=f"seq {b}")
+
+
 def test_batch_matches_single_seq(setup):
     cfg, dec, mega = setup
     B, S = 3, 32
