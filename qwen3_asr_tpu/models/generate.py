@@ -284,7 +284,10 @@ def generate_greedy_batch_mega(
     DKV = cfg.n_kv_heads * cfg.head_dim
 
     def one_prefill(tk, npr, au, na):
-        cache = init_kv_cache(cfg, S, jnp.int8)
+        # prefill with a bf16 cache and bulk-quantize after: per-row
+        # quantize-on-write inside the (vmapped) prefill scan measured far
+        # slower than one vectorized pass over the filled cache
+        cache = init_kv_cache(cfg, S, jnp.bfloat16)
         h0 = embed_with_audio(dec_params, tk, au, na, audio_offset)
         h, cache = decoder_forward(
             dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
@@ -295,12 +298,20 @@ def generate_greedy_batch_mega(
         first = jnp.argmax(lm_logits(dec_params, cfg, h_last))
         return first.astype(jnp.int32), cache
 
-    first, cache = jax.vmap(one_prefill)(tokens, n_prompt, audio, n_audio)
+    # lax.map: one compiled prefill body reused per sequence (vmap
+    # measured the same speed at B=8 but compiles a second, batched copy
+    # of the whole prefill graph)
+    first, cache = jax.lax.map(
+        lambda args: one_prefill(*args), (tokens, n_prompt, audio, n_audio))
 
-    kq = cache["k"].reshape(B, L, S, DKV)
-    vq = cache["v"].reshape(B, L, S, DKV)
-    ks = cache["k_s"].transpose(0, 1, 3, 2)   # -> [B, L, NKV, S]
-    vs = cache["v_s"].transpose(0, 1, 3, 2)
+    from qwen3_asr_tpu.models.decoder import _quantize_kv_rows
+
+    kq, ks = _quantize_kv_rows(cache["k"])    # [B, L, S, NKV, hd] -> int8
+    vq, vs = _quantize_kv_rows(cache["v"])
+    kq = kq.reshape(B, L, S, DKV)
+    vq = vq.reshape(B, L, S, DKV)
+    ks = ks.transpose(0, 1, 3, 2)             # -> [B, L, NKV, S]
+    vs = vs.transpose(0, 1, 3, 2)
 
     out0 = jnp.zeros((B, max_tokens), jnp.int32).at[:, 0].set(first)
     done0 = first == cfg.eos_token_id
