@@ -196,7 +196,10 @@ def batched_transcribe_step(
     """
     from qwen3_asr_tpu.models.generate import generate_greedy
 
-    if "mega" in dec_params and mesh is None:
+    if "mega" in dec_params and mesh is None and tokens.shape[0] <= 16:
+        # the batched kernel unrolls attention per sequence — past ~16
+        # sequences compile time and kernel code size outgrow the win;
+        # larger batches use the vmapped XLA step
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         if has_pallas_tpu():
