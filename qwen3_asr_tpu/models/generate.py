@@ -206,6 +206,33 @@ def decode_chunk(dec_params, cfg, token, pos0, cache, n_steps: int, limit):
     return out, i, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                   donate_argnames=("k3", "v3"))
+def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
+                      n_steps: int, limit):
+    """decode_chunk through the whole-step megakernel (bf16-KV flat
+    caches [L, S, DKV]); same (successors, n_generated) contract."""
+    from qwen3_asr_tpu.ops.megakernel import mega_decode_step
+
+    out0 = jnp.zeros((n_steps,), jnp.int32)
+
+    def cond(state):
+        i, tok = state[0], state[1]
+        return (i < limit) & (tok != cfg.eos_token_id)
+
+    def body(state):
+        i, tok, k3, v3, out = state
+        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
+        nxt, k3, v3, _ = mega_decode_step(
+            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
+            k3, v3)
+        return i + 1, nxt, k3, v3, out.at[i].set(nxt)
+
+    i, _, k3, v3, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, k3, v3, out0))
+    return out, i, k3, v3
+
+
 def generate_greedy_streaming(
     dec_params, cfg, tokens, n_prompt, audio, n_audio,
     audio_offset: int, max_tokens: int,
@@ -218,10 +245,21 @@ def generate_greedy_streaming(
     latency dominates this path on network-attached chips, so chunking
     amortizes it ~chunk-fold. Same outputs as `generate_greedy`."""
     P = tokens.shape[0]
+    S = -(-(P + max_tokens) // 8) * 8
     token, cache = prefill_only(
         dec_params, cfg, tokens, n_prompt, audio, n_audio,
-        audio_offset, P + max_tokens, cache_dtype,
+        audio_offset, S, cache_dtype,
     )
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_mega = ("mega" in dec_params and cache_dtype == jnp.bfloat16
+                and has_pallas_tpu())
+    if use_mega:
+        L = cfg.n_layers
+        DKV = cfg.n_kv_heads * cfg.head_dim
+        k3 = cache["k"].reshape(L, S, DKV)
+        v3 = cache["v"].reshape(L, S, DKV)
+        cache = None
     out = []
     pos = int(n_prompt)
 
@@ -237,10 +275,16 @@ def generate_greedy_streaming(
         return out
     while True:
         limit = min(chunk, max_tokens - len(out))
-        succ, n, cache = decode_chunk(
-            dec_params, cfg, token, jnp.int32(pos + len(out) - 1), cache,
-            chunk, jnp.int32(limit),
-        )
+        if use_mega:
+            succ, n, k3, v3 = decode_chunk_mega(
+                dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
+                k3, v3, chunk, jnp.int32(limit),
+            )
+        else:
+            succ, n, cache = decode_chunk(
+                dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
+                cache, chunk, jnp.int32(limit),
+            )
         arr = np.asarray(succ)[: int(n)]
         if len(arr) == 0:
             break
