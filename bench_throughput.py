@@ -36,7 +36,10 @@ def main():
         os.environ.get("BENCH_QUANT", "2")
     ]
 
-    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=quant)
+    # int8 KV cache — the serving daemon's default: required by the
+    # batched decode megakernel, which is where the aggregate numbers
+    # come from
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=quant, kv_int8=True)
     asr.load_random(ASRModelConfig(), seed=0)
     # force fixed-length decode (synthetic weights; workload shape matters)
     asr.cfg = dataclasses.replace(

@@ -96,7 +96,7 @@ def generate_greedy(
         if kv_i8:
             def body_m(state):
                 i, token, k3, v3, ks, vs, out = state
-                pos = (n_prompt + i).astype(jnp.int32)
+                pos = (n_prompt + i - 1).astype(jnp.int32)
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
                     dec_params["mega"], cfg, x, pos, k3, v3, ks, vs)
@@ -110,7 +110,7 @@ def generate_greedy(
         else:
             def body_m(state):
                 i, token, k3, v3, out = state
-                pos = (n_prompt + i).astype(jnp.int32)
+                pos = (n_prompt + i - 1).astype(jnp.int32)
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, _ = mega_decode_step(
                     dec_params["mega"], cfg, x, pos, k3, v3)
@@ -129,7 +129,10 @@ def generate_greedy(
 
     def body(state):
         i, token, cache, out = state
-        pos = n_prompt + i
+        # i counts stored tokens; the token being consumed sits at
+        # sequence position n_prompt + i - 1 (first decode step = n_prompt,
+        # matching the reference's n_past, qwen3_asr.cpp:268-287)
+        pos = n_prompt + i - 1
         h0 = jnp.take(dec_params["token_embd"], token[None], axis=0)
         h, cache = decoder_forward(
             dec_params, cfg, h0, pos[None].astype(jnp.int32), cache,
@@ -367,7 +370,7 @@ def generate_greedy_batch_mega(
 
     def body(state):
         i, done, cur, nk, kq, vq, ks, vs, out = state
-        pos = (n_prompt + i).astype(jnp.int32)          # [B]
+        pos = (n_prompt + i - 1).astype(jnp.int32)      # [B]
         x = jnp.take(dec_params["token_embd"], cur, axis=0)
         nxt, kq, vq, ks, vs, _ = mega_decode_step_batch(
             dec_params["mega"], cfg, x, pos, kq, vq, ks, vs,

@@ -175,8 +175,11 @@ def _rms_f32(x, w, eps):
 
 
 def _quant_row(xf):
-    """f32 [1, n] -> (int8 [1, n], f32 scalar scale) — pc_matmul's math."""
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    """f32 [rows, n] -> (int8 [rows, n], f32 [rows, 1] per-row scales) —
+    pc_matmul's activation-quant math. The batched kernel shares this
+    helper so the two kernels can never drift apart."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     return xq, sx
 

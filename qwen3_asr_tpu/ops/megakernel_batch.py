@@ -33,20 +33,13 @@ from qwen3_asr_tpu.ops.megakernel import (
     LOOKAHEAD,
     NBUF,
     _NEG,
-    _rms_f32,
+    _quant_row as _quant_rows,   # per-row scales; shared with the
+    _rms_f32,                    # single-seq kernel (bit-identical math)
     _rope_row,
     _schedule,
 )
 
 NSLAB = 2  # KV slab ring depth (per stream): seq b+1 streams while b attends
-
-
-def _quant_rows(xf):
-    """f32 [B, n] -> (int8 [B, n], f32 [B, 1] per-row scales)."""
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
 
 
 def _mega_batch_kernel(

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -175,7 +176,8 @@ def shard_encoder_params(params: dict, mesh: Mesh) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "audio_offset", "max_tokens", "mesh"),
+    static_argnames=("cfg", "audio_offset", "max_tokens", "mesh",
+                     "cache_dtype"),
 )
 def batched_transcribe_step(
     dec_params: dict,
@@ -187,25 +189,34 @@ def batched_transcribe_step(
     audio_offset: int,
     max_tokens: int,
     mesh: Mesh | None = None,
+    cache_dtype=jnp.bfloat16,
 ):
     """vmapped greedy generation over a batch of utterances.
 
     With `tokens`/`audio` sharded over the `dp` axis and weights sharded per
     the tp rules, XLA runs dp-many independent decodes with tp-sharded
     matmuls — the multi-file batch mode of BASELINE.json config 5.
+
+    cache_dtype=jnp.int8 on a single Pallas device routes through the
+    batched decode megakernel (int8 KV is its only mode) — the serving
+    daemon's default. bf16 keeps the vmapped XLA step so the KV numerics
+    follow the caller's setting, never the routing.
     """
     from qwen3_asr_tpu.models.generate import generate_greedy
 
-    if "mega" in dec_params and mesh is None and tokens.shape[0] <= 16:
-        # the batched kernel unrolls attention per sequence — past ~16
-        # sequences compile time and kernel code size outgrow the win;
-        # larger batches use the vmapped XLA step
+    use_mega_batch = ("mega" in dec_params and mesh is None
+                      and cache_dtype == jnp.int8
+                      # the batched kernel unrolls attention per sequence —
+                      # past ~16 sequences compile time and kernel code
+                      # size outgrow the win
+                      and tokens.shape[0] <= 16)
+    if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         if has_pallas_tpu():
             # single-device batched megakernel: one Pallas launch advances
             # the whole batch one token; the int8 weight stream is read
-            # once per step instead of once per sequence. 2978 tok/s
+            # once per step instead of once per sequence. 3880 tok/s
             # aggregate at B=8 vs 803 for the vmapped XLA step (v5e).
             from qwen3_asr_tpu.models.generate import (
                 generate_greedy_batch_mega,
@@ -214,10 +225,9 @@ def batched_transcribe_step(
             return generate_greedy_batch_mega(
                 dec_params, cfg, tokens, n_prompt, audio, n_audio,
                 audio_offset, max_tokens)
-        dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
-    elif "mega" in dec_params:
-        # multi-chip meshes use the vmappable XLA step (the megakernel's
-        # manual DMA ring has no sharding story)
+    if "mega" in dec_params:
+        # the single-seq megakernel has no batch dim and the manual DMA
+        # ring has no sharding story — the vmapped XLA step takes over
         dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
 
     # note: the pallas decode-attention kernel stays ON under vmap —
@@ -227,7 +237,8 @@ def batched_transcribe_step(
 
     def one(tk, npr, au, na):
         return generate_greedy(
-            dec_params, cfg, tk, npr, au, na, audio_offset, max_tokens
+            dec_params, cfg, tk, npr, au, na, audio_offset, max_tokens,
+            cache_dtype=cache_dtype,
         )
 
     out, n_kept = jax.vmap(one)(tokens, n_prompt, audio, n_audio)

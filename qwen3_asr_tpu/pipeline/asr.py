@@ -317,6 +317,7 @@ class Qwen3ASR:
                     jnp.asarray(toks), jnp.int32(n_prompt),
                     audio_padded, jnp.int32(n_audio), offset,
                     params.max_tokens, on_token=on_token,
+                    cache_dtype=self._cache_dtype(),
                 )
             else:
                 out, n_kept = generate_greedy(
@@ -453,7 +454,7 @@ class Qwen3ASR:
             self.params["decoder"], dcfg,
             jnp.asarray(toks), jnp.asarray(n_prompt), audio_padded,
             jnp.asarray(n_audio_arr), offsets[0], params.max_tokens,
-            mesh=mesh,
+            mesh=mesh, cache_dtype=self._cache_dtype(),
         )
         out = np.asarray(out)
         n_kept = np.asarray(n_kept)

@@ -381,6 +381,11 @@ def main(argv=None) -> int:
                    help="int8 decode path: q8_0 (Pallas dequant kernels) or "
                         "int8pc (per-channel W8A8 on the int8 MXU); auto = "
                         "int8pc for dense GGUFs")
+    p.add_argument("--kv-cache", default="int8", choices=["int8", "bf16"],
+                   help="KV cache dtype. int8 (default) enables the batched "
+                        "decode megakernel — ~3.3x aggregate decode "
+                        "throughput; bf16 matches the reference's F16-cache "
+                        "numerics exactly")
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
@@ -393,7 +398,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     asr = Qwen3ASR(dtype=jnp.bfloat16,
-                   quantize="" if args.quantize == "none" else args.quantize)
+                   quantize="" if args.quantize == "none" else args.quantize,
+                   kv_int8=args.kv_cache == "int8")
     if not asr.load_model(args.model):
         print(f"Error: {asr.error_msg}", file=sys.stderr)
         return 1
