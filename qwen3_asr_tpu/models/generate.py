@@ -209,10 +209,10 @@ def decode_chunk(dec_params, cfg, token, pos0, cache, n_steps: int, limit):
     return out, i, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
                    donate_argnames=("k3", "v3"))
 def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
-                      n_steps: int, limit):
+                      n_steps: int, limit, interpret: bool = False):
     """decode_chunk through the whole-step megakernel (bf16-KV flat
     caches [L, S, DKV]); same (successors, n_generated) contract."""
     from qwen3_asr_tpu.ops.megakernel import mega_decode_step
@@ -228,7 +228,7 @@ def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
         x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
         nxt, k3, v3, _ = mega_decode_step(
             dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
-            k3, v3)
+            k3, v3, interpret=interpret)
         return i + 1, nxt, k3, v3, out.at[i].set(nxt)
 
     i, _, k3, v3, out = jax.lax.while_loop(
@@ -236,32 +236,74 @@ def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
     return out, i, k3, v3
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
+                   donate_argnames=("k3", "v3", "ks", "vs"))
+def decode_chunk_mega_i8(dec_params, cfg, token, pos0, k3, v3, ks, vs,
+                         n_steps: int, limit, interpret: bool = False):
+    """decode_chunk through the int8-KV megakernel: flat int8 caches
+    [L, S, DKV] + per-(row, head) scales [L, NKV, S] (lane dim = S).
+    Same (successors, n_generated) contract as decode_chunk — this is
+    what lets `--kv-int8 --progress` keep the fastest decode config
+    instead of silently dropping to the XLA step (VERDICT r2 §weak-3)."""
+    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i8
+
+    out0 = jnp.zeros((n_steps,), jnp.int32)
+
+    def cond(state):
+        i, tok = state[0], state[1]
+        return (i < limit) & (tok != cfg.eos_token_id)
+
+    def body(state):
+        i, tok, k3, v3, ks, vs, out = state
+        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
+        nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
+            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
+            k3, v3, ks, vs, interpret=interpret)
+        return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
+
+    i, _, k3, v3, ks, vs, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, k3, v3, ks, vs, out0))
+    return out, i, k3, v3, ks, vs
+
+
 def generate_greedy_streaming(
     dec_params, cfg, tokens, n_prompt, audio, n_audio,
     audio_offset: int, max_tokens: int,
     on_token=None, cache_dtype=jnp.bfloat16, chunk: int = 8,
+    _force_mega_interpret: bool = False,
 ):
     """Greedy decode with a host-side loop, invoking
     `on_token(i, max_tokens)` per token — the per-token progress contract
     of the reference (qwen3_asr.cpp:264,289). Decodes `chunk` tokens per
     device dispatch (callbacks stay per-token, just burstier): per-dispatch
     latency dominates this path on network-attached chips, so chunking
-    amortizes it ~chunk-fold. Same outputs as `generate_greedy`."""
+    amortizes it ~chunk-fold. Same outputs as `generate_greedy`.
+
+    `_force_mega_interpret` routes through the megakernel in Pallas
+    interpret mode regardless of backend (CPU tests only)."""
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_mega = ("mega" in dec_params
+                and cache_dtype in (jnp.bfloat16, jnp.int8)
+                and (has_pallas_tpu() or _force_mega_interpret))
     P = tokens.shape[0]
-    S = -(-(P + max_tokens) // 8) * 8
+    # int8-KV megakernel scale arrays put S on the 128-tiled lane dim
+    align = 128 if use_mega else 8
+    S = -(-(P + max_tokens) // align) * align
     token, cache = prefill_only(
         dec_params, cfg, tokens, n_prompt, audio, n_audio,
         audio_offset, S, cache_dtype,
     )
-    from qwen3_asr_tpu.ops.support import has_pallas_tpu
-
-    use_mega = ("mega" in dec_params and cache_dtype == jnp.bfloat16
-                and has_pallas_tpu())
+    kv_i8 = cache_dtype == jnp.int8
     if use_mega:
         L = cfg.n_layers
         DKV = cfg.n_kv_heads * cfg.head_dim
         k3 = cache["k"].reshape(L, S, DKV)
         v3 = cache["v"].reshape(L, S, DKV)
+        if kv_i8:
+            # prefill wrote [L, S, NKV] scales; the kernel wants lane = S
+            ks = cache["k_s"].transpose(0, 2, 1)
+            vs = cache["v_s"].transpose(0, 2, 1)
         cache = None
     out = []
     pos = int(n_prompt)
@@ -278,10 +320,17 @@ def generate_greedy_streaming(
         return out
     while True:
         limit = min(chunk, max_tokens - len(out))
-        if use_mega:
+        if use_mega and kv_i8:
+            succ, n, k3, v3, ks, vs = decode_chunk_mega_i8(
+                dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
+                k3, v3, ks, vs, chunk, jnp.int32(limit),
+                interpret=_force_mega_interpret,
+            )
+        elif use_mega:
             succ, n, k3, v3 = decode_chunk_mega(
                 dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
                 k3, v3, chunk, jnp.int32(limit),
+                interpret=_force_mega_interpret,
             )
         else:
             succ, n, cache = decode_chunk(

@@ -57,6 +57,12 @@ class AlignmentResult:
     t_encode_ms: float = 0.0
     t_decode_ms: float = 0.0
     t_total_ms: float = 0.0
+    # batch provenance (align_batch): stage times on a batched result are
+    # whole-batch dispatch times (the work is shared — same timing surface
+    # as the reference's per-run fields, forced_aligner.h:28-32, with the
+    # batch context attached so serving logs keep per-request truth)
+    batch_size: int = 1
+    batch_index: int = 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_offset"))
@@ -193,11 +199,18 @@ class ForcedAligner:
         groups: dict[int, list[int]] = {}
         for i, nf in enumerate(true_frames):
             groups.setdefault(-(-nf // bf) * bf, []).append(i)
+        t_mel_ms = t_encode_ms = 0.0
         for idxs in groups.values():
+            t0 = time.perf_counter()
             mel_b, n_true = log_mel_spectrogram_padded_batch(
                 [samples_list[i] for i in idxs], self.mel_filters, bf)
+            jax.block_until_ready(mel_b)
+            t_mel_ms += (time.perf_counter() - t0) * 1000
+            t0 = time.perf_counter()
             feats_b, n_audio_l = encode_audio_padded_batch(
                 self.params["encoder"], self.cfg.encoder, mel_b, n_true)
+            jax.block_until_ready(feats_b)
+            t_encode_ms += (time.perf_counter() - t0) * 1000
             for j, i in enumerate(idxs):
                 feats_map[i] = (feats_b[j], n_audio_l[j])
 
@@ -225,11 +238,12 @@ class ForcedAligner:
             audio_padded = audio_padded.at[i, : feats.shape[0]].set(
                 feats.astype(self.dtype))
 
+        t0 = time.perf_counter()
         pred = np.asarray(_nar_classify_batch(
             self.params["decoder"], dcfg, jnp.asarray(toks),
             jnp.asarray(n_valid), audio_padded, jnp.asarray(n_audio_arr), 1,
         ))
-        t_ms = (time.perf_counter() - t_total) * 1000
+        t_decode_ms = (time.perf_counter() - t0) * 1000
 
         ts_id = self.cfg.timestamp_token_id
         for i, r in enumerate(results):
@@ -243,7 +257,15 @@ class ForcedAligner:
             r.words = [AlignedWord(**w) for w in
                        pair_words(word_lists[i], timestamps, duration)]
             r.success = True
-            r.t_total_ms = t_ms
+            # stage times are whole-batch dispatch times (shared work);
+            # t_total_ms = wall time from batch start until THIS item's
+            # result is ready (includes its host post-processing)
+            r.t_mel_ms = t_mel_ms
+            r.t_encode_ms = t_encode_ms
+            r.t_decode_ms = t_decode_ms
+            r.batch_size = B
+            r.batch_index = i
+            r.t_total_ms = (time.perf_counter() - t_total) * 1000
         return results
 
     def align(self, audio, text: str, language: str = "",

@@ -111,10 +111,15 @@ def test_align_batch_matches_single(rng):
     singles = [fa.align(a, t, mel_bucket=200) for a, t in pairs]
     batched = fa.align_batch([a for a, _ in pairs], [t for _, t in pairs],
                              mel_bucket=200)
-    for s, b in zip(singles, batched):
+    for i, (s, b) in enumerate(zip(singles, batched)):
         assert b.success
         assert ([(w.word, w.start, w.end) for w in b.words]
                 == [(w.word, w.start, w.end) for w in s.words])
+        # per-item timing surface (VERDICT r2 weak-7): stage times are
+        # whole-batch dispatch times + batch provenance per result
+        assert b.batch_size == len(pairs) and b.batch_index == i
+        assert b.t_decode_ms > 0 and b.t_encode_ms > 0 and b.t_mel_ms > 0
+        assert b.t_total_ms >= b.t_decode_ms
 
 
 def test_quantized_bucketed_pipeline_runs(rng):
