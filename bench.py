@@ -24,6 +24,76 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
+def _trace_stage_times(jax, pipeline, n_decode_tokens):
+    """Run one staged pipeline under jax.profiler, parse the Chrome-trace
+    JSON it writes, and return device-side per-stage times:
+    {mel_device_ms, encode_device_ms, decode_device_ms, device_total_ms,
+     host_link_ms}. Stage attribution is by jitted-module name on the TPU
+    process's "XLA Modules" track."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            wall = pipeline(n_decode_tokens)
+        paths = glob.glob(os.path.join(
+            td, "**", "*.trace.json.gz"), recursive=True)
+        if not paths:
+            return {}
+        with gzip.open(paths[0], "rt") as f:
+            trace = _json.load(f)
+
+    events = trace.get("traceEvents", [])
+    # process/thread metadata: find TPU device pids + "XLA Modules" tids
+    proc_names, thread_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    dev_pids = {p for p, n in proc_names.items()
+                if "TPU" in n or "/device:" in n}
+    mod_tids = {(p, t) for (p, t), n in thread_names.items()
+                if p in dev_pids and "Module" in n}
+
+    def stage_of(name: str):
+        n = name.lower()
+        if "mel" in n:
+            return "mel"
+        if "encode" in n:
+            return "encode"
+        if any(k in n for k in ("generate", "decode", "mega", "prefill")):
+            return "decode"
+        return "other"
+
+    sums = {"mel": 0.0, "encode": 0.0, "decode": 0.0, "other": 0.0}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        if mod_tids:
+            if key not in mod_tids:
+                continue
+        elif e.get("pid") not in dev_pids:
+            continue
+        sums[stage_of(e.get("name", ""))] += e["dur"] / 1e3  # us -> ms
+
+    dev_total = sum(sums.values())
+    if dev_total <= 0:
+        return {}
+    return {
+        "mel_device_ms": round(sums["mel"], 2),
+        "encode_device_ms": round(sums["encode"], 2),
+        "decode_device_ms": round(sums["decode"], 2),
+        "other_device_ms": round(sums["other"], 2),
+        "device_total_ms": round(dev_total, 2),
+        "host_link_ms": round(max(wall["total_ms"] - dev_total, 0.0), 2),
+        "traced_wall_total_ms": round(wall["total_ms"], 1),
+    }
+
+
 def main():
     import dataclasses
 
@@ -42,10 +112,11 @@ def main():
     gguf = os.environ.get("QWEN3_ASR_GGUF", "")
 
     # BENCH_QUANT: 0 = dense bf16, 1 = Q8_0 (Pallas dequant kernels),
-    # 2 = per-channel W8A8 (int8 MXU via XLA). Default int8pc — the fastest
-    # supported config (accuracy contract: greedy-argmax parity vs dense,
+    # 2 = per-channel W8A8 (int8 MXU via XLA), 3 = int4 decode stream
+    # (megakernel nibble-packed weights, prefill stays int8pc). Default
+    # int8pc (accuracy contract: greedy-argmax parity vs dense,
     # tests/test_quant.py; the reference likewise ships q8_0 for speed).
-    quant = {"0": "", "1": "q8_0", "2": "int8pc"}[
+    quant = {"0": "", "1": "q8_0", "2": "int8pc", "3": "int4"}[
         os.environ.get("BENCH_QUANT", "2")
     ]
     if gguf:
@@ -56,21 +127,22 @@ def main():
     if quant:
         from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
-        params["decoder"] = quantize_decoder_params(params["decoder"], quant)
+        params["decoder"] = quantize_decoder_params(
+            params["decoder"], "int8pc" if quant == "int4" else quant)
     from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
     params["decoder"] = fuse_decoder_params(params["decoder"])
-    # int8pc + fused: pack the whole-step decode megakernel (one Pallas
-    # launch per token — all layers + lm head + argmax). BENCH_MEGA=0 to
-    # measure the plain XLA decode loop instead.
-    use_mega = (quant == "int8pc"
+    # int8pc/int4 + fused: pack the whole-step decode megakernel (one
+    # Pallas launch per token — all layers + lm head + argmax). BENCH_MEGA=0
+    # to measure the plain XLA decode loop instead.
+    use_mega = (quant in ("int8pc", "int4")
                 and os.environ.get("BENCH_MEGA", "1") == "1")
     if use_mega:
         try:
             from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
 
             params["decoder"]["mega"] = pack_megakernel_params(
-                params["decoder"], cfg.decoder)
+                params["decoder"], cfg.decoder, int4=quant == "int4")
         except ValueError:
             use_mega = False
     params = jax.device_put(params)
@@ -154,6 +226,21 @@ def main():
     fused_runs = [fused(n_decode_tokens) for _ in range(3)]
     best_fused = min(fused_runs, key=lambda r: r["total_ms"])
 
+    # Device-side stage accounting (VERDICT r2 next-2): one staged run under
+    # a jax.profiler trace; device module times split mel / encode / decode,
+    # and host_link_ms = staged wall total minus device total — this turns
+    # the "mel is ~12 ms compute, the rest is host-link latency" claim into
+    # a measured artifact instead of an assertion.
+    device_stages = {}
+    if os.environ.get("BENCH_TRACE", "1") == "1":
+        try:
+            traced = _trace_stage_times(jax, pipeline, n_decode_tokens)
+            if traced:
+                device_stages = traced
+        except Exception as e:  # profiling must never fail the bench
+            print(f"bench: device trace failed ({e!r})", file=sys.stderr,
+                  flush=True)
+
     total_ms = min(best["total_ms"], best_fused["total_ms"])
     rtf = seconds / (total_ms / 1e3)
     tok_s = best["n_tokens"] / (best["decode_ms"] / 1e3)
@@ -231,6 +318,7 @@ def main():
             "scan_unroll": unroll,
             "megakernel": use_mega,
             "has_pallas": pallas_ok,
+            **device_stages,
         },
     }
     print(json.dumps(result))

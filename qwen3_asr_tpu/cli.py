@@ -48,11 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="On-device compute dtype")
     p.add_argument("--quantize", default="auto",
-                   choices=["auto", "none", "q8_0", "int8pc"],
+                   choices=["auto", "none", "q8_0", "int8pc", "int4"],
                    help="Decoder weight quantization. 'auto' (default) picks "
                         "int8pc (per-channel W8A8, the benchmarked-fastest "
-                        "config) for dense GGUFs and leaves Q8_0 files on "
-                        "their native int8 blocks; 'none' forces dense")
+                        "exact-ish config) for dense GGUFs and leaves Q8_0 "
+                        "files on their native int8 blocks; 'none' forces "
+                        "dense; 'int4' additionally nibble-packs the decode "
+                        "megakernel's weight stream (half the HBM bytes/"
+                        "step — fastest decode; coarser 4-bit weights, "
+                        "prefill stays int8)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (per-row, per-head scales). With "
                         "the decode megakernel this is the fastest decode "

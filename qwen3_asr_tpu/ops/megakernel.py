@@ -47,6 +47,9 @@ CHUNK_OUT = 2048  # max cols per weight chunk
 KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # past `pos` are never streamed — the KV read scales with
                   # the live context, not the allocated cache
+INT4_GROUP = 512  # int4 mode: rows per (group, out-column) scale — the
+                  # finest grouping whose scale rows still fit the existing
+                  # [*, 8, co] scale blocks (wd's 3072-row in dim -> 6 rows)
 _NEG = -0.7 * float(np.finfo(np.float32).max)
 
 
@@ -79,10 +82,83 @@ def _pack_stack(leaf: dict, co: int):
     return jnp.asarray(np.stack(qs)), jnp.asarray(s8)
 
 
-def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig) -> dict:
+def _int4_group_for(n_in: int) -> int:
+    """Scale-group rows for an in dim: the largest divisor of
+    gcd(n_in, CHUNK_IN) that is <= INT4_GROUP — this guarantees the group
+    divides every DMA chunk, so each group's int32 dot is whole. Raises if
+    the resulting scale rows would not fit the 8-row scale blocks."""
+    import math
+
+    base = math.gcd(n_in, CHUNK_IN)
+    g = min(INT4_GROUP, base)
+    while base % g:
+        g -= 1
+    if n_in % 2 or n_in // g > 8:
+        raise ValueError(f"int4: no valid scale grouping for in dim {n_in}")
+    return g
+
+
+def _quant_int4_groups(w: np.ndarray, G: int | None = None):
+    """f32 [in, out] -> (int4 values in int8 [in, out] in [-7, 7],
+    scales f32 [in/G, out]) — symmetric per-(G-row group, out column)."""
+    n_in, n_out = w.shape
+    if G is None:
+        G = _int4_group_for(n_in)
+    assert n_in % G == 0, (n_in, G)
+    wg = w.reshape(n_in // G, G, n_out)
+    s = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-12)   # [n_g, out]
+    q = np.clip(np.rint(wg / s[:, None, :]), -7, 7).astype(np.int8)
+    return q.reshape(n_in, n_out), s.astype(np.float32)
+
+
+def _pack_nibbles(q: np.ndarray) -> np.ndarray:
+    """int4 values in int8 [in, out] -> packed bytes [in/2, out]: byte row
+    r = (row 2r+1 << 4) | (row 2r & 0xF) — exactly the layout
+    pltpu.bitcast(int8 -> int4) expands back as interleaved-lo-first
+    (verified on hardware and in interpret mode, scripts/probe_int4b.py)."""
+    lo = q[0::2].astype(np.uint8) & 0xF
+    hi = q[1::2].astype(np.uint8) & 0xF
+    return ((hi << 4) | lo).astype(np.uint8).view(np.int8)
+
+
+def _pack_tiles_i4(w: np.ndarray, co: int, G: int | None = None):
+    """dense f32 [in, out] -> (packed int4 tiles [out/co, in/2, co],
+    scale blocks [out/co, 8, co] rows 0..in/G-1 = per-group scales)."""
+    n_in, n_out = w.shape
+    if G is None:
+        G = _int4_group_for(n_in)
+    assert n_out % co == 0, (n_out, co)
+    n_g = n_in // G
+    assert n_g <= 8, (n_in, G)
+    q, s = _quant_int4_groups(w, G)                     # [in, out], [n_g, out]
+    b = _pack_nibbles(q)                                # [in/2, out]
+    qt = np.ascontiguousarray(
+        b.reshape(n_in // 2, n_out // co, co).transpose(1, 0, 2))
+    s8 = np.zeros((n_out // co, 8, co), np.float32)
+    s8[:, :n_g, :] = np.ascontiguousarray(
+        s.reshape(n_g, n_out // co, co).transpose(1, 0, 2))
+    return qt, s8
+
+
+def _dequant_i8pc(leaf: dict) -> np.ndarray:
+    """int8pc leaf -> dense f32 [L, in, out] (q * per-out-channel scale)."""
+    q = np.asarray(leaf["i8pc:q"], np.float32)
+    s = np.asarray(leaf["i8pc:s"], np.float32)
+    return q * s[:, None, :]
+
+
+def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
+                           int4: bool = False) -> dict:
     """Build the megakernel weight pack from a FUSED + int8pc decoder tree
     (runtime/params.py::quantize_decoder_params('int8pc') then
     fuse_decoder_params). Returns a dict to stash as dec_params['mega'].
+
+    int4=True: the decode weight stream is re-quantized to int4 with
+    per-(512-row group, out column) scales and nibble-packed two logical
+    rows per byte — HALF the HBM bytes per decode step. The kernel expands
+    bytes in-register via a sublane int4 bitcast; the prefill/XLA paths
+    keep their int8pc leaves (decode-only approximation, gated by the
+    f32-oracle drift tests). Opt-in: int4 weight error is ~4x int8's.
     """
     layers = dec_params["layers"]
     if "wqkv" not in layers or not (
@@ -106,7 +182,14 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig) -> dict:
                       ("gu", "w_gate_up"), ("wd", "w_down")):
         leaf = layers[key]
         n_out = leaf["i8pc:q"].shape[-1]
-        q, s = _pack_stack(leaf, co_for(n_out))
+        co = co_for(n_out)
+        if int4:
+            w = _dequant_i8pc(leaf)
+            qs, ss = zip(*(_pack_tiles_i4(w[l], co)
+                           for l in range(w.shape[0])))
+            q, s = jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(ss))
+        else:
+            q, s = _pack_stack(leaf, co)
         pack[f"{name}_q"], pack[f"{name}_s"] = q, s
 
     # lm head: pad the vocab to a chunk multiple; padded columns get zero
@@ -119,14 +202,23 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig) -> dict:
     if Vp != V:
         hq = np.pad(hq, ((0, 0), (0, Vp - V)))
         hs = np.pad(hs, (0, Vp - V))
-    hqt, hst = _pack_tiles(hq, hs, co_h)
-    pack["head_q"] = jnp.asarray(hqt)
-    # head scales stream from HBM through the scale ring like the layer
-    # scales (8-row block per chunk, row 0 = values) — keeping them
-    # resident would cost ~0.6 MB of the ~16 MB VMEM
-    hs8 = np.zeros((hst.shape[0], 8, hst.shape[1]), np.float32)
-    hs8[:, 0, :] = hst
-    pack["head_s"] = jnp.asarray(hs8)
+    if int4:
+        # int4-ness is detected statically from the packed row count
+        # (qkv_q rows == H//2), not a flag — the pack dict is a jit pytree
+        # arg and a bool leaf would be a traced value
+        hw = hq.astype(np.float32) * hs
+        hqt, hs8 = _pack_tiles_i4(hw, co_h)
+        pack["head_q"] = jnp.asarray(hqt)
+        pack["head_s"] = jnp.asarray(hs8)
+    else:
+        hqt, hst = _pack_tiles(hq, hs, co_h)
+        pack["head_q"] = jnp.asarray(hqt)
+        # head scales stream from HBM through the scale ring like the layer
+        # scales (8-row block per chunk, row 0 = values) — keeping them
+        # resident would cost ~0.6 MB of the ~16 MB VMEM
+        hs8 = np.zeros((hst.shape[0], 8, hst.shape[1]), np.float32)
+        hs8[:, 0, :] = hst
+        pack["head_s"] = jnp.asarray(hs8)
 
     # all four per-layer norm vectors share one [L, 8, H] block (dynamic
     # layer indexing needs 8-row-aligned sublane offsets; packing them
@@ -223,7 +315,7 @@ def _mega_kernel(
     ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
-    kv_blocks, kv_i8: bool,
+    kv_blocks, kv_i8: bool, w4: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -246,9 +338,11 @@ def _mega_kernel(
 
     def chunk_dma(entry, l, slot):
         mat, oi, ii, ci, co = entry
-        src = hbm[mat].at[l, oi, pl.ds(ii * CHUNK_IN, ci), :]
+        # int4 mode: the HBM pack holds nibble-packed bytes — half the rows
+        rows, r0 = (ci // 2, ii * CHUNK_IN // 2) if w4 else (ci, ii * CHUNK_IN)
+        src = hbm[mat].at[l, oi, pl.ds(r0, rows), :]
         return pltpu.make_async_copy(
-            src, wbufs.at[slot, pl.ds(0, ci), pl.ds(0, co)], sems.at[slot])
+            src, wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co)], sems.at[slot])
 
     def scale_dma(entry, l, slot):
         mat, oi, ii, ci, co = entry
@@ -259,8 +353,9 @@ def _mega_kernel(
             sbufs.at[slot, :, pl.ds(0, co)], ssems.at[slot])
 
     def head_dma(hi, slot):
+        rows = H // 2 if w4 else H
         return pltpu.make_async_copy(
-            head_q.at[hi], wbufs.at[slot, pl.ds(0, H), pl.ds(0, co_h)],
+            head_q.at[hi], wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co_h)],
             sems.at[slot])
 
     def head_scale_dma(hi, slot):
@@ -353,7 +448,15 @@ def _mega_kernel(
         returns (f32 [1, n_out] result, next schedule index). Static
         python loop — the schedule is static per layer. Order per chunk is
         wait -> read scale -> issue lookahead -> dot, so a slot's scale row
-        is consumed before any DMA that could overwrite it is issued."""
+        is consumed before any DMA that could overwrite it is issued.
+
+        int8 mode: in-chunk int32 partials accumulate exactly; ONE
+        per-out-channel scale applies at the end. int4 mode: the chunk's
+        packed bytes expand in-register (sublane int4 bitcast — measured
+        free: the ring streams at the same GB/s as int8,
+        scripts/probe_int4b.py) and each INT4_GROUP-row slice dots
+        separately so its own group scale can apply; groups accumulate
+        in f32."""
         n_oc, n_in, co = shapes[mat]
         n_ic = -(-n_in // CHUNK_IN)
         outs = []
@@ -361,24 +464,51 @@ def _mega_kernel(
         for oi in range(n_oc):
             acc = None
             s_row = None
+            s_blk = None
             for ii in range(n_ic):
                 entry = sched[j]
                 slot = (l * n_sched + j) % NBUF
                 chunk_dma(entry, l, slot).wait()
                 if ii == 0:
                     scale_dma(entry, l, slot).wait()
-                    s_row = sbufs[slot, 0:1, :co]  # [1, co] f32
+                    if w4:
+                        s_blk = sbufs[slot, :, :co]    # [8, co] group scales
+                    else:
+                        s_row = sbufs[slot, 0:1, :co]  # [1, co] f32
                 start(j + LOOKAHEAD, l)
                 ci = entry[3]
-                xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
-                                   (1, ii * CHUNK_IN + ci))
-                part = jax.lax.dot_general(
-                    xs, wbufs[slot, :ci, :co],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                acc = part if acc is None else acc + part
+                if w4:
+                    gsz = _int4_group_for(n_in)  # static, matches the pack
+                    assert ci % gsz == 0, (mat, ci, gsz)
+                    w8 = pltpu.bitcast(
+                        wbufs[slot, :ci // 2, :co], jnp.int4
+                    ).astype(jnp.int8)                 # [ci, co]
+                    g0 = (ii * CHUNK_IN) // gsz
+                    for g in range(ci // gsz):
+                        r = g * gsz
+                        xs = jax.lax.slice(
+                            xq, (0, ii * CHUNK_IN + r),
+                            (1, ii * CHUNK_IN + r + gsz))
+                        part = jax.lax.dot_general(
+                            xs, jax.lax.slice(
+                                w8, (r, 0), (r + gsz, co)),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        term = part.astype(jnp.float32) * (
+                            sx * s_blk[g0 + g:g0 + g + 1, :])
+                        acc = term if acc is None else acc + term
+                else:
+                    xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
+                                       (1, ii * CHUNK_IN + ci))
+                    part = jax.lax.dot_general(
+                        xs, wbufs[slot, :ci, :co],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = part if acc is None else acc + part
                 j += 1
-            outs.append(acc.astype(jnp.float32) * (sx * s_row))
+            if not w4:
+                acc = acc.astype(jnp.float32) * (sx * s_row)
+            outs.append(acc)
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0], j
 
     # ---- layers ----------------------------------------------------------
@@ -491,15 +621,33 @@ def _mega_kernel(
         slot = (L * n_sched + hi) % NBUF
         head_dma(hi, slot).wait()
         head_scale_dma(hi, slot).wait()
-        s_row = sbufs[slot, 0:1, :co_h]
+        if w4:
+            s_blk = sbufs[slot, :, :co_h]
+        else:
+            s_row = sbufs[slot, 0:1, :co_h]
         if hi + LOOKAHEAD < n_hc:
             slot_n = (L * n_sched + hi + LOOKAHEAD) % NBUF
             head_dma(hi + LOOKAHEAD, slot_n).start()
             head_scale_dma(hi + LOOKAHEAD, slot_n).start()
-        acc = jax.lax.dot_general(
-            xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        logits = acc.astype(jnp.float32) * (sx * s_row)
+        if w4:
+            gsz = _int4_group_for(H)
+            w8 = pltpu.bitcast(
+                wbufs[slot, :H // 2, :co_h], jnp.int4).astype(jnp.int8)
+            logits = None
+            for g in range(H // gsz):
+                r = g * gsz
+                part = jax.lax.dot_general(
+                    jax.lax.slice(xq, (0, r), (1, r + gsz)),
+                    jax.lax.slice(w8, (r, 0), (r + gsz, co_h)),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                term = part.astype(jnp.float32) * (sx * s_blk[g:g + 1, :])
+                logits = term if logits is None else logits + term
+        else:
+            acc = jax.lax.dot_general(
+                xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) * (sx * s_row)
         cols = hi * co_h + jax.lax.broadcasted_iota(jnp.int32, (1, co_h), 1)
         logits = jnp.where(cols < V, logits, _NEG)
         m = jnp.max(logits)
@@ -536,14 +684,19 @@ def _mega_call(
     if S % 8:
         raise ValueError(f"cache rows S={S} must be a multiple of 8")
 
+    # int4 pack detection is structural: packed tiles carry in/2 byte rows
+    # (pack_megakernel_params(int4=True)); qkv's in dim is always H
+    w4 = mega["qkv_q"].shape[2] == H // 2
     shapes = {}
     for mat in ("qkv", "wo", "gu", "wd"):
-        q = mega[f"{mat}_q"]  # [L, n_oc, in, co]
-        shapes[mat] = (q.shape[1], q.shape[2], q.shape[3])
+        q = mega[f"{mat}_q"]  # [L, n_oc, in(/2 if int4), co]
+        n_in = q.shape[2] * 2 if w4 else q.shape[2]
+        shapes[mat] = (q.shape[1], n_in, q.shape[3])
     sched = tuple(_schedule(shapes))
     n_hc, _, co_h = mega["head_q"].shape
     co_max = max(co_h, *(s[2] for s in shapes.values()))
     ci_max = max(H, *(min(CHUNK_IN, s[1]) for s in shapes.values()))
+    buf_rows = ci_max // 2 if w4 else ci_max
     V = int(mega["head_s"].shape[0] * co_h)
     # true vocab: padded columns carry zero scale; mask from cfg
     V = min(V, cfg.vocab_size)
@@ -558,7 +711,8 @@ def _mega_call(
 
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8)
+        n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8,
+        w4=w4)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -600,7 +754,7 @@ def _mega_call(
             jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),   # weight ring
+            pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),  # weight ring
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
             pltpu.VMEM((S, DKV), k_cache.dtype),
             pltpu.VMEM((S, DKV), v_cache.dtype),

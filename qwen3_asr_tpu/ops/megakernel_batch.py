@@ -33,6 +33,7 @@ from qwen3_asr_tpu.ops.megakernel import (
     LOOKAHEAD,
     NBUF,
     _NEG,
+    _int4_group_for,
     _quant_row as _quant_rows,   # per-row scales; shared with the
     _rms_f32,                    # single-seq kernel (bit-identical math)
     _rope_row,
@@ -64,7 +65,7 @@ def _mega_batch_kernel(
     ksbuf, vsbuf,       # VMEM [NSLAB, NKV, S] f32 scale slab rings
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L, B,
-    kv_blocks,
+    kv_blocks, w4: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -81,9 +82,11 @@ def _mega_batch_kernel(
     # ---- weight chunk ring (identical scheme to megakernel.py) ----------
     def chunk_dma(entry, l, slot):
         mat, oi, ii, ci, co = entry
-        src = hbm[mat].at[l, oi, pl.ds(ii * CHUNK_IN, ci), :]
+        # int4 mode: the HBM pack holds nibble-packed bytes (half the rows)
+        rows, r0 = (ci // 2, ii * CHUNK_IN // 2) if w4 else (ci, ii * CHUNK_IN)
+        src = hbm[mat].at[l, oi, pl.ds(r0, rows), :]
         return pltpu.make_async_copy(
-            src, wbufs.at[slot, pl.ds(0, ci), pl.ds(0, co)], sems.at[slot])
+            src, wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co)], sems.at[slot])
 
     def scale_dma(entry, l, slot):
         mat, oi, ii, ci, co = entry
@@ -92,8 +95,9 @@ def _mega_batch_kernel(
             sbufs.at[slot, :, pl.ds(0, co)], ssems.at[slot])
 
     def head_dma(hi, slot):
+        rows = H // 2 if w4 else H
         return pltpu.make_async_copy(
-            head_q.at[hi], wbufs.at[slot, pl.ds(0, H), pl.ds(0, co_h)],
+            head_q.at[hi], wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co_h)],
             sems.at[slot])
 
     def head_scale_dma(hi, slot):
@@ -177,7 +181,9 @@ def _mega_batch_kernel(
         kv_start(0, b)
 
     def stream_matmul(l, mat, xq, sx, j0):
-        """[B, n_in] int8 rows x streamed chunks -> (f32 [B, n_out], j)."""
+        """[B, n_in] int8 rows x streamed chunks -> (f32 [B, n_out], j).
+        int4 mode mirrors megakernel.py: in-register nibble expand +
+        per-INT4_GROUP-row group scales accumulated in f32."""
         n_oc, n_in, co = shapes[mat]
         n_ic = -(-n_in // CHUNK_IN)
         outs = []
@@ -185,24 +191,49 @@ def _mega_batch_kernel(
         for oi in range(n_oc):
             acc = None
             s_row = None
+            s_blk = None
             for ii in range(n_ic):
                 entry = sched[j]
                 slot = (l * n_sched + j) % NBUF
                 chunk_dma(entry, l, slot).wait()
                 if ii == 0:
                     scale_dma(entry, l, slot).wait()
-                    s_row = sbufs[slot, 0:1, :co]
+                    if w4:
+                        s_blk = sbufs[slot, :, :co]
+                    else:
+                        s_row = sbufs[slot, 0:1, :co]
                 start(j + LOOKAHEAD, l)
                 ci = entry[3]
-                xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
-                                   (B, ii * CHUNK_IN + ci))
-                part = jax.lax.dot_general(
-                    xs, wbufs[slot, :ci, :co],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                acc = part if acc is None else acc + part
+                if w4:
+                    gsz = _int4_group_for(n_in)
+                    w8 = pltpu.bitcast(
+                        wbufs[slot, :ci // 2, :co], jnp.int4
+                    ).astype(jnp.int8)
+                    g0 = (ii * CHUNK_IN) // gsz
+                    for g in range(ci // gsz):
+                        r = g * gsz
+                        xs = jax.lax.slice(
+                            xq, (0, ii * CHUNK_IN + r),
+                            (B, ii * CHUNK_IN + r + gsz))
+                        part = jax.lax.dot_general(
+                            xs, jax.lax.slice(w8, (r, 0), (r + gsz, co)),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        term = part.astype(jnp.float32) * (
+                            sx * s_blk[g0 + g:g0 + g + 1, :])
+                        acc = term if acc is None else acc + term
+                else:
+                    xs = jax.lax.slice(xq, (0, ii * CHUNK_IN),
+                                       (B, ii * CHUNK_IN + ci))
+                    part = jax.lax.dot_general(
+                        xs, wbufs[slot, :ci, :co],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = part if acc is None else acc + part
                 j += 1
-            outs.append(acc.astype(jnp.float32) * (sx * s_row))
+            if not w4:
+                acc = acc.astype(jnp.float32) * (sx * s_row)
+            outs.append(acc)
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0], j
 
     # ---- layers ---------------------------------------------------------
@@ -305,15 +336,33 @@ def _mega_batch_kernel(
         slot = (L * n_sched + hi) % NBUF
         head_dma(hi, slot).wait()
         head_scale_dma(hi, slot).wait()
-        s_row = sbufs[slot, 0:1, :co_h]
+        if w4:
+            s_blk = sbufs[slot, :, :co_h]
+        else:
+            s_row = sbufs[slot, 0:1, :co_h]
         if hi + LOOKAHEAD < n_hc:
             slot_n = (L * n_sched + hi + LOOKAHEAD) % NBUF
             head_dma(hi + LOOKAHEAD, slot_n).start()
             head_scale_dma(hi + LOOKAHEAD, slot_n).start()
-        acc = jax.lax.dot_general(
-            xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        logits = acc.astype(jnp.float32) * (sx * s_row)   # [B, co_h]
+        if w4:
+            gsz = _int4_group_for(H)
+            w8 = pltpu.bitcast(
+                wbufs[slot, :H // 2, :co_h], jnp.int4).astype(jnp.int8)
+            logits = None
+            for g in range(H // gsz):
+                r = g * gsz
+                part = jax.lax.dot_general(
+                    jax.lax.slice(xq, (0, r), (B, r + gsz)),
+                    jax.lax.slice(w8, (r, 0), (r + gsz, co_h)),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                term = part.astype(jnp.float32) * (sx * s_blk[g:g + 1, :])
+                logits = term if logits is None else logits + term
+        else:
+            acc = jax.lax.dot_general(
+                xq, wbufs[slot, :H, :co_h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) * (sx * s_row)   # [B, co_h]
         cols = hi * co_h + jax.lax.broadcasted_iota(
             jnp.int32, (B, co_h), 1)
         logits = jnp.where(cols < V, logits, _NEG)
@@ -350,14 +399,17 @@ def mega_decode_step_batch(
     if S % 128 and not interpret:
         raise ValueError(f"batched megakernel needs S % 128 == 0 (got {S})")
 
+    w4 = mega["qkv_q"].shape[2] == H // 2  # int4 pack: in/2 byte rows
     shapes = {}
     for mat in ("qkv", "wo", "gu", "wd"):
         q = mega[f"{mat}_q"]
-        shapes[mat] = (q.shape[1], q.shape[2], q.shape[3])
+        n_in = q.shape[2] * 2 if w4 else q.shape[2]
+        shapes[mat] = (q.shape[1], n_in, q.shape[3])
     sched = tuple(_schedule(shapes))
     n_hc, _, co_h = mega["head_q"].shape
     co_max = max(co_h, *(s[2] for s in shapes.values()))
     ci_max = max(H, *(min(CHUNK_IN, s[1]) for s in shapes.values()))
+    buf_rows = ci_max // 2 if w4 else ci_max
     V = min(int(mega["head_s"].shape[0] * co_h), cfg.vocab_size)
 
     # coarser blocks than the single-seq kernel: 4 streams x B sequences
@@ -373,7 +425,7 @@ def mega_decode_step_batch(
 
     kernel = functools.partial(
         _mega_batch_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V, L=L, B=B, kv_blocks=kv_blocks)
+        n_hc=n_hc, co_h=co_h, V=V, L=L, B=B, kv_blocks=kv_blocks, w4=w4)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -399,7 +451,7 @@ def mega_decode_step_batch(
             jax.ShapeDtypeStruct((B, L, 8, NKV), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ci_max, co_max), jnp.int8),
+            pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),
             pltpu.VMEM((NSLAB, S, DKV), k_cache.dtype),
             pltpu.VMEM((NSLAB, S, DKV), v_cache.dtype),

@@ -102,8 +102,12 @@ class Qwen3ASR:
             if quantize:
                 from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
+                # "int4" is a decode-stream mode: the XLA paths (prefill,
+                # batched fallback) still run int8pc; only the megakernel
+                # pack is int4
                 self.params["decoder"] = quantize_decoder_params(
-                    self.params["decoder"], quantize
+                    self.params["decoder"],
+                    "int8pc" if quantize == "int4" else quantize,
                 )
             from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
@@ -130,7 +134,8 @@ class Qwen3ASR:
             from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
             self.params["decoder"] = quantize_decoder_params(
-                self.params["decoder"], quantize
+                self.params["decoder"],
+                "int8pc" if quantize == "int4" else quantize,
             )
         from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
@@ -143,16 +148,19 @@ class Qwen3ASR:
         self._progress_cb = cb
 
     def _maybe_pack_megakernel(self, quantize: str) -> None:
-        """int8pc + fused => also pack the whole-step decode megakernel
-        (ops/megakernel.py). generate_greedy picks it up on TPU; every
-        other path ignores the extra 'mega' entry."""
-        if quantize != "int8pc":
+        """int8pc/int4 + fused => also pack the whole-step decode
+        megakernel (ops/megakernel.py). generate_greedy picks it up on
+        TPU; every other path ignores the extra 'mega' entry. "int4"
+        nibble-packs the decode weight stream (HALF the HBM bytes/step,
+        per-512-row-group scales) — prefill stays int8pc."""
+        if quantize not in ("int8pc", "int4"):
             return
         try:
             from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
 
             self.params["decoder"]["mega"] = pack_megakernel_params(
-                self.params["decoder"], self.cfg.decoder)
+                self.params["decoder"], self.cfg.decoder,
+                int4=quantize == "int4")
         except ValueError:
             pass  # layout not eligible (e.g. unfused)
 

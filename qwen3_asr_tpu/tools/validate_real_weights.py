@@ -45,7 +45,36 @@ GATES = (
     ("audio_features.npy", 2e-2),
     ("decoder_logits.npy", 1e-2),
 )
+# forced-aligner leg (same tolerance classes; the word gate is one
+# timestamp class = 80 ms, forced_aligner.cpp:1611-1714)
+FA_GATES = (
+    ("fa_audio_features.npy", 2e-2),
+    ("fa_ts_logits.npy", 1e-2),
+)
 WER_THRESHOLD = 0.05  # run_all_tests.sh WER gate
+WORD_TS_TOLERANCE_S = 0.080  # one timestamp segment
+
+
+def _compare_words(ours_path: Path, golden_path: Path,
+                   tol_s: float = WORD_TS_TOLERANCE_S) -> bool:
+    """Word-timestamp gate: same words in order, |start/end delta| within
+    one timestamp class. Inputs are the CLI's alignment JSON
+    ({"words": [{word, start, end}, ...]})."""
+    ours = json.loads(ours_path.read_text(encoding="utf-8"))["words"]
+    gold = json.loads(golden_path.read_text(encoding="utf-8"))["words"]
+    if [w["word"] for w in ours] != [w["word"] for w in gold]:
+        print(f"== word sequences differ ({len(ours)} vs {len(gold)})",
+              file=sys.stderr)
+        return False
+    worst = 0.0
+    for a, b in zip(ours, gold):
+        worst = max(worst, abs(a["start"] - b["start"]),
+                    abs(a["end"] - b["end"]))
+    ok = worst <= tol_s + 1e-9
+    print(f"== word timestamps: {len(ours)} words, worst delta "
+          f"{worst*1000:.0f} ms (gate {tol_s*1000:.0f} ms): "
+          f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+    return ok
 
 
 def _run(desc: str, argv: list[str]) -> bool:
@@ -68,6 +97,18 @@ def main(argv=None) -> int:
                         "reference golden generators")
     p.add_argument("--audio", required=True, type=Path,
                    help="the reference sample clip (16 kHz mono WAV)")
+    p.add_argument("--fa-hf-dir", type=Path, default=None,
+                   help="HF Qwen3-ForcedAligner checkpoint: enables the "
+                        "forced-aligner leg (encoder/classify-logit gates + "
+                        "word-timestamp gate)")
+    p.add_argument("--fa-goldens", type=Path, default=None,
+                   help="directory with fa_audio_features.npy / "
+                        "fa_ts_logits.npy / words.json (+ optional "
+                        "text.txt); defaults to --goldens")
+    p.add_argument("--fa-text", default="",
+                   help="transcript to align (default: "
+                        "fa-goldens/text.txt, else goldens/transcript.txt)")
+    p.add_argument("--fa-language", default="")
     p.add_argument("--workdir", required=True, type=Path)
     p.add_argument("--type", default="f16", choices=["f16", "f32", "q8_0"])
     p.add_argument("--platform", default="",
@@ -129,6 +170,66 @@ def main(argv=None) -> int:
             "--ref", str(golden_txt), "--hyp", str(hyp),
             "--threshold", str(WER_THRESHOLD),
         ])
+
+    # 5. forced-aligner leg (VERDICT r2 next-3): both models validate in
+    # one command on the first machine that has the real checkpoints
+    if args.fa_hf_dir is not None:
+        fa_goldens = args.fa_goldens or args.goldens
+        text = args.fa_text
+        if not text:
+            for cand in (fa_goldens / "text.txt",
+                         args.goldens / "transcript.txt"):
+                if cand.exists():
+                    text = cand.read_text(encoding="utf-8").strip()
+                    break
+        if not text:
+            print("== FA leg: no transcript (--fa-text / text.txt / "
+                  "transcript.txt), FAIL", file=sys.stderr)
+            results["fa_text"] = False
+        else:
+            fa_gguf = args.workdir / f"qwen3-fa-{args.type}.gguf"
+            results["fa_convert"] = _run("convert FA HF -> GGUF", [
+                "qwen3_asr_tpu.tools.convert_hf_to_gguf",
+                "-i", str(args.fa_hf_dir), "-o", str(fa_gguf),
+                "-t", args.type,
+            ])
+            if results["fa_convert"]:
+                fa_dumps = args.workdir / "fa_intermediates"
+                dump_args = ["qwen3_asr_tpu.tools.dump_intermediates",
+                             "-m", str(fa_gguf), "-f", str(args.audio),
+                             "-o", str(fa_dumps), "--aligner",
+                             "--text", text]
+                if args.fa_language:
+                    dump_args += ["--language", args.fa_language]
+                if args.platform:
+                    dump_args += ["--platform", args.platform]
+                results["fa_dump"] = _run("dump FA intermediates", dump_args)
+
+                for name, atol in FA_GATES:
+                    golden = fa_goldens / name
+                    if not golden.exists():
+                        print(f"== {name}: golden missing, SKIP",
+                              file=sys.stderr)
+                        continue
+                    results[name] = _run(f"compare {name} @ {atol}", [
+                        "qwen3_asr_tpu.tools.compare",
+                        str(fa_dumps / name), str(golden),
+                        "--atol", str(atol),
+                    ])
+
+                words_out = args.workdir / "words.json"
+                cli = ["qwen3_asr_tpu.cli", "-m", str(fa_gguf),
+                       "-f", str(args.audio), "--align", "--text", text,
+                       "--no-timing", "-o", str(words_out)]
+                if args.fa_language:
+                    cli += ["--language", args.fa_language]
+                if args.platform:
+                    cli += ["--platform", args.platform]
+                results["fa_align"] = _run("end-to-end alignment", cli)
+                golden_words = fa_goldens / "words.json"
+                if golden_words.exists() and results["fa_align"]:
+                    results["fa_words"] = _compare_words(
+                        words_out, golden_words)
 
     passed = all(results.values())
     print(json.dumps({"passed": passed, "results": results}))

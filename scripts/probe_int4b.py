@@ -252,21 +252,40 @@ def p3_bench(mode):
                 ref += xa32 @ lo.astype(np.int32) + xb32 @ hi.astype(np.int32)
     ok = np.array_equal(y.astype(np.int64), ref)
 
-    f_many(x, w_dev).block_until_ready()  # compile
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        f_many(x, w_dev).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    # per-kernel time: subtract one dispatch latency estimated as the
-    # spread floor, then divide by ITERS
-    best = min(ts)
-    link = min(best - nbytes * ITERS / 819e9, 0.030)  # cap the estimate
-    per = (best - max(link, 0.0)) / ITERS
+    # differential timing: dispatch latency (~30 ms on this tunnel) cancels
+    # in (t_long - t_short) / (ITERS_long - ITERS_short)
+    def mk(iters):
+        def many(x, w):
+            def it(_, carry):
+                x, acc = carry
+                y = call(x, w)
+                x = jax.lax.slice(y, (0, 0), (1, C)).astype(jnp.int8)
+                return x, acc + y
+
+            _, acc = jax.lax.fori_loop(
+                0, iters, it, (x, jnp.zeros((1, N), jnp.int32)))
+            return acc
+        return jax.jit(many)
+
+    I_SHORT, I_LONG = 32, 288
+    f_s, f_l = mk(I_SHORT), mk(I_LONG)
+    f_s(x, w_dev).block_until_ready()
+    f_l(x, w_dev).block_until_ready()
+
+    def best_of(f):
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            f(x, w_dev).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_s, t_l = best_of(f_s), best_of(f_l)
+    per = (t_l - t_s) / (I_LONG - I_SHORT)
     gbps = nbytes / per / 1e9
     eff_gbps = NC * C * N / per / 1e9  # logical int8-equivalent rate
-    print(f"P3[{mode:8s}] ok={ok} total={best*1e3:7.3f} ms/{ITERS} "
-          f"per={per*1e3:7.3f} ms stream={gbps:6.1f} GB/s "
+    print(f"P3[{mode:8s}] ok={ok} t32={t_s*1e3:7.2f} t288={t_l*1e3:7.2f} "
+          f"per={per*1e3:7.4f} ms stream={gbps:6.1f} GB/s "
           f"logical-int8-equiv={eff_gbps:6.1f} GB/s "
           f"({nbytes/1e6:.0f} MB/iter)", flush=True)
 

@@ -216,6 +216,163 @@ def test_megakernel_i8_kv_tracks_bf16(setup):
     np.testing.assert_allclose(fi, fb, atol=0.05, rtol=0.05)
 
 
+def _dequant_int4_dense(dec, cfg, dtype):
+    """Reproduce pack_megakernel_params(int4=True)'s weight quantization in
+    numpy: i8pc leaves -> dense f32 -> int4 per-(512-row group, out column)
+    -> dequantized dense. This is the int4 kernel's own weight truth."""
+    from qwen3_asr_tpu.ops.megakernel import (
+        _dequant_i8pc,
+        _quant_int4_groups,
+    )
+
+    out = {}
+    for k, v in dec.items():
+        if k == "layers":
+            lay = {}
+            for kk, vv in v.items():
+                if isinstance(vv, dict) and "i8pc:q" in vv:
+                    w = _dequant_i8pc(vv)
+                    deq = []
+                    for l in range(w.shape[0]):
+                        q, s = _quant_int4_groups(w[l])
+                        G = w[l].shape[0] // s.shape[0]
+                        deq.append(q.astype(np.float32)
+                                   * np.repeat(s, G, axis=0))
+                    lay[kk] = jnp.asarray(np.stack(deq), dtype)
+                else:
+                    lay[kk] = jnp.asarray(vv, dtype)
+            out["layers"] = lay
+        elif k == "lm_head_pc":
+            continue
+        elif isinstance(v, dict):
+            continue
+        else:
+            out[k] = jnp.asarray(v, dtype)
+    return out
+
+
+def test_int4_pack_roundtrip(setup):
+    """Nibble packing: packed bytes expand back (numpy semantics matching
+    pltpu.bitcast interleaved-lo-first) to the int4 values, and the
+    dequantized tiles track the i8pc weights within int4 group error."""
+    from qwen3_asr_tpu.ops.megakernel import (
+        _dequant_i8pc,
+        _pack_nibbles,
+        _quant_int4_groups,
+    )
+
+    cfg, dec, _ = setup
+    w = _dequant_i8pc(dec["layers"]["wqkv"])[0]           # [in, out] f32
+    q, s = _quant_int4_groups(w)
+    b = _pack_nibbles(q)
+    # expand: byte row r -> rows 2r (lo nibble) / 2r+1 (hi nibble)
+    b32 = b.astype(np.int32)
+    hi = b32 >> 4
+    lo = b32 & 0xF
+    lo = np.where(lo >= 8, lo - 16, lo)
+    rec = np.empty_like(q)
+    rec[0::2] = lo
+    rec[1::2] = hi
+    np.testing.assert_array_equal(rec, q)
+    # dequant error bound: per group, |w - q*s| <= s/2 (round) and q in
+    # [-7, 7]
+    G = w.shape[0] // s.shape[0]
+    deq = q.astype(np.float32) * np.repeat(s, G, axis=0)
+    assert np.abs(deq - w).max() <= (s.max() / 2) + 1e-6
+
+
+def test_megakernel_int4_drift_vs_own_oracle(setup):
+    """int4 mode: against a dense-f32 oracle built from the SAME
+    int4-dequantized weights, the kernel's drift must be in the same class
+    as the int8 kernel's drift vs its own (i8pc-dequantized) oracle — i.e.
+    the only added error is the int4 weight quantization itself, which the
+    oracle shares."""
+    import dataclasses
+
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+
+    cfg, dec, mega8 = setup
+    mega4 = pack_megakernel_params(dec, cfg, int4=True)
+    # int4 pack is structurally half the rows
+    assert mega4["qkv_q"].shape[2] * 2 == mega8["qkv_q"].shape[2]
+
+    cfg_noker = dataclasses.replace(cfg, use_decode_attn_kernel=False)
+    S = 32
+    L = cfg.n_layers
+    DKV = cfg.n_kv_heads * cfg.head_dim
+    rng = np.random.default_rng(23)
+    k0 = jnp.asarray(rng.standard_normal((L, S, DKV)) * 0.3, jnp.bfloat16)
+    v0 = jnp.asarray(rng.standard_normal((L, S, DKV)) * 0.3, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)), jnp.bfloat16)
+    pos = jnp.int32(17)
+
+    tok4, _, _, h_m4 = mega_decode_step(mega4, cfg, x, pos, jnp.array(k0),
+                                        jnp.array(v0), interpret=True)
+    _, _, _, h_m8 = mega_decode_step(mega8, cfg, x, pos, jnp.array(k0),
+                                     jnp.array(v0), interpret=True)
+
+    def oracle(dec_dense):
+        cache_f = {"k": k0.astype(jnp.float32).reshape(
+                       L, S, cfg.n_kv_heads, cfg.head_dim),
+                   "v": v0.astype(jnp.float32).reshape(
+                       L, S, cfg.n_kv_heads, cfg.head_dim)}
+        h, _ = decoder_forward(dec_dense, cfg_noker, x.astype(jnp.float32),
+                               pos[None], cache_f,
+                               cache_offset=pos, kv_valid_len=pos + 1)
+        return np.asarray(h[0], np.float32).ravel()
+
+    ho4 = oracle(_dequant_int4_dense(dec, cfg, jnp.float32))
+    ho8 = oracle(_dequant_dense(dec, jnp.float32))
+    hm4 = np.asarray(h_m4, np.float32).ravel()
+    hm8 = np.asarray(h_m8, np.float32).ravel()
+    rms4 = float(np.sqrt(((hm4 - ho4) ** 2).mean()))
+    rms8 = float(np.sqrt(((hm8 - ho8) ** 2).mean()))
+    den = float(np.abs(ho4).max())
+    assert rms4 <= 2.0 * rms8 + 1e-4 * den, (rms4, rms8, den)
+
+
+def test_megakernel_int4_generates(setup):
+    """int4 decode steps run end-to-end (interpret) and emit tokens that
+    match the argmax of the int4-dequantized dense f32 model — the int4
+    path's own greedy truth."""
+    import dataclasses
+
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+
+    cfg, dec, _ = setup
+    mega4 = pack_megakernel_params(dec, cfg, int4=True)
+    dec4 = _dequant_int4_dense(dec, cfg, jnp.float32)
+    cfg_noker = dataclasses.replace(cfg, use_decode_attn_kernel=False)
+
+    S = 32
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(1, 200, size=12), jnp.int32)
+    # shared prefill state from the dense-int4 model (f32)
+    tok_ref, cache = _prefill(cfg_noker, dec4, prompt, S)
+    L = cfg.n_layers
+    DKV = cfg.n_kv_heads * cfg.head_dim
+    k4 = cache["k"].astype(jnp.bfloat16).reshape(L, S, DKV)
+    v4 = cache["v"].astype(jnp.bfloat16).reshape(L, S, DKV)
+    tok_mega = tok_ref
+
+    matches = 0
+    for i in range(4):
+        pos = jnp.int32(len(prompt) + i)
+        h0 = jnp.take(dec4["token_embd"], tok_ref[None], axis=0)
+        h, cache = decoder_forward(
+            dec4, cfg_noker, h0, pos[None], cache,
+            cache_offset=pos, kv_valid_len=pos + 1,
+        )
+        tok_ref = jnp.argmax(lm_logits(dec4, cfg_noker, h[0])).astype(jnp.int32)
+        x = jnp.take(dec4["token_embd"], tok_mega[None], axis=0)
+        tok_mega, k4, v4, _ = mega_decode_step(
+            mega4, cfg, x.astype(jnp.bfloat16), pos, k4, v4, interpret=True)
+        matches += int(tok_mega) == int(tok_ref)
+    # bf16/int8-activation rounding can flip an occasional argmax on random
+    # weights; the greedy streams must still track
+    assert matches >= 3, matches
+
+
 def test_megakernel_pack_requires_int8pc_fused(setup):
     cfg, _, _ = setup
     dense = init_decoder_params(cfg, jax.random.PRNGKey(4), jnp.bfloat16)

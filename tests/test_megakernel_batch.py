@@ -67,6 +67,43 @@ def test_generate_batch_mega_matches_xla_int8(setup):
             err_msg=f"seq {b}")
 
 
+def test_batch_matches_single_seq_int4(setup):
+    """int4 weight stream: the batched kernel must match the single-seq
+    int4 kernel token-for-token on the same state (both use the same pack,
+    so any divergence is a kernel bug, not quantization)."""
+    cfg, dec, _ = setup
+    mega4 = pack_megakernel_params(dec, cfg, int4=True)
+    B, S = 2, 32
+    L = cfg.n_layers
+    NKV, D = cfg.n_kv_heads, cfg.head_dim
+    DKV = NKV * D
+    H = cfg.hidden_size
+    rng = np.random.default_rng(29)
+
+    kq = jnp.asarray(rng.integers(-127, 128, (B, L, S, DKV)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, L, S, DKV)), jnp.int8)
+    ks = jnp.asarray(np.abs(rng.standard_normal((B, L, NKV, S))) * 0.01
+                     + 1e-4, jnp.float32)
+    vs = jnp.asarray(np.abs(rng.standard_normal((B, L, NKV, S))) * 0.01
+                     + 1e-4, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, H)), jnp.bfloat16)
+    pos = jnp.asarray([9, 21], jnp.int32)
+
+    tok_b, _, _, _, _, h_b = mega_decode_step_batch(
+        mega4, cfg, x, pos, jnp.array(kq), jnp.array(vq),
+        jnp.array(ks), jnp.array(vs), interpret=True)
+
+    for b in range(B):
+        tok_s, _, _, _, _, h_s = mega_decode_step_i8(
+            mega4, cfg, x[b:b + 1], pos[b],
+            jnp.array(kq[b]), jnp.array(vq[b]),
+            jnp.array(ks[b]), jnp.array(vs[b]), interpret=True)
+        assert int(tok_b[b]) == int(tok_s), b
+        np.testing.assert_allclose(
+            np.asarray(h_b[b], np.float32), np.asarray(h_s[0], np.float32),
+            atol=1e-2, rtol=1e-2, err_msg=f"hidden, seq {b}")
+
+
 def test_batch_matches_single_seq(setup):
     cfg, dec, mega = setup
     B, S = 3, 32
