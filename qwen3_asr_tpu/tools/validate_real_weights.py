@@ -13,7 +13,13 @@ ForcedAligner), this runs the full gate the reference test harness defines
   3. compare against HF-derived goldens at the reference tolerances:
      mel @ 1e-4, encoder @ 2e-2, decoder logits @ 1e-2,
   4. transcribe the sample clip end-to-end and gate WER against the
-     golden transcript (tools/compute_wer; exact-match reported too).
+     golden transcript (tools/compute_wer; exact-match reported too),
+  5. (with --fa-hf-dir) the forced-aligner leg: convert the FA checkpoint,
+     dump FA encoder features + classify logits at the <ts> prompt
+     positions (dump_intermediates --aligner), gate them at the same
+     tolerance classes, align the clip end-to-end and gate every word's
+     start/end within ONE timestamp class (80 ms) of the golden words.json
+     (reference: forced_aligner.cpp:1611-1714).
 
 Goldens are the npy artifacts produced by the reference's
 tests/generate_reference.py + generate_decoder_reference.py (or any
@@ -24,11 +30,12 @@ recipe for the first environment that has the real checkpoint:
 
   python -m qwen3_asr_tpu.tools.validate_real_weights \
       --hf-dir /path/to/Qwen3-ASR-0.6B \
+      --fa-hf-dir /path/to/Qwen3-ForcedAligner-0.6B \
       --goldens /path/to/tests/reference \
       --audio /path/to/sample.wav \
       --workdir /tmp/validate
 
-Exit code 0 = every gate passed.
+Exit code 0 = every gate passed (both models in one command).
 """
 
 from __future__ import annotations

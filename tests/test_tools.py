@@ -115,3 +115,97 @@ def test_validate_real_weights_recipe(tmp_path, rng):
     for gate in ("mel.npy", "audio_features.npy", "decoder_logits.npy",
                  "transcript_exact", "wer"):
         assert verdict["results"][gate] is True, gate
+
+
+def test_validate_real_weights_fa_leg(tmp_path, rng):
+    """The forced-aligner leg of the validation harness runs turn-key
+    (VERDICT r2 next-3): synthetic FA HF checkpoint -> convert -> FA
+    intermediate dumps -> tolerance gates -> end-to-end alignment ->
+    word-timestamp gate, one command together with the ASR leg."""
+    import json
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    pytest.importorskip("safetensors")
+    from qwen3_asr_tpu.audio import write_wav
+    from qwen3_asr_tpu.config import tiny_aligner_config, tiny_asr_config
+    from qwen3_asr_tpu.runtime.params import (
+        init_aligner_params,
+        init_asr_params,
+    )
+    from test_convert import _hf_checkpoint
+
+    # ASR checkpoint (the harness requires the ASR leg)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    cfg = tiny_asr_config()
+    params = jax.tree.map(np.asarray, init_asr_params(cfg, 11, jnp.float32))
+    _hf_checkpoint(hf_dir, cfg, params)
+
+    # FA checkpoint: same fixture + the FA config/tensor patch
+    fa_dir = tmp_path / "fa_hf"
+    fa_dir.mkdir()
+    fa_cfg = tiny_aligner_config()
+    fa_params = jax.tree.map(np.asarray,
+                             init_aligner_params(fa_cfg, 37, jnp.float32))
+    _hf_checkpoint(fa_dir, fa_cfg, fa_params)
+    config = json.loads((fa_dir / "config.json").read_text())
+    config["thinker_config"]["model_type"] = "qwen3_forced_aligner"
+    config["thinker_config"]["classify_num"] = fa_cfg.decoder.classify_num
+    config["timestamp_token_id"] = fa_cfg.timestamp_token_id
+    (fa_dir / "config.json").write_text(json.dumps(config))
+    from safetensors.numpy import load_file, save_file
+
+    t = load_file(str(fa_dir / "model.safetensors"))
+    t["thinker.classify_head.weight"] = np.ascontiguousarray(
+        np.asarray(fa_params["decoder"]["classify_w"]).T)
+    t["thinker.classify_head.bias"] = np.asarray(
+        fa_params["decoder"]["classify_b"])
+    save_file(t, str(fa_dir / "model.safetensors"))
+
+    wav = tmp_path / "s.wav"
+    tt = np.arange(8000) / 16000
+    write_wav(str(wav), (0.3 * np.sin(2 * np.pi * 440 * tt)).astype(np.float32))
+    text = "alpha beta"
+
+    run = lambda argv: subprocess.run(  # noqa: E731
+        [sys.executable, "-m"] + argv, cwd="/root/repo").returncode
+
+    # self-consistent goldens for BOTH legs
+    goldens = tmp_path / "goldens"
+    gguf = tmp_path / "g.gguf"
+    fa_gguf = tmp_path / "fa.gguf"
+    assert run(["qwen3_asr_tpu.tools.convert_hf_to_gguf",
+                "-i", str(hf_dir), "-o", str(gguf), "-t", "f32"]) == 0
+    assert run(["qwen3_asr_tpu.tools.dump_intermediates", "-m", str(gguf),
+                "-f", str(wav), "-o", str(goldens),
+                "--platform", "cpu"]) == 0
+    assert run(["qwen3_asr_tpu.cli", "-m", str(gguf), "-f", str(wav),
+                "--max-tokens", "3", "--no-timing", "--platform", "cpu",
+                "-o", str(goldens / "transcript.txt")]) == 0
+    assert run(["qwen3_asr_tpu.tools.convert_hf_to_gguf",
+                "-i", str(fa_dir), "-o", str(fa_gguf), "-t", "f32"]) == 0
+    assert run(["qwen3_asr_tpu.tools.dump_intermediates", "-m", str(fa_gguf),
+                "-f", str(wav), "-o", str(goldens), "--aligner",
+                "--text", text, "--platform", "cpu"]) == 0
+    assert run(["qwen3_asr_tpu.cli", "-m", str(fa_gguf), "-f", str(wav),
+                "--align", "--text", text, "--no-timing",
+                "--platform", "cpu", "-o", str(goldens / "words.json")]) == 0
+    (goldens / "text.txt").write_text(text)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "qwen3_asr_tpu.tools.validate_real_weights",
+         "--hf-dir", str(hf_dir), "--fa-hf-dir", str(fa_dir),
+         "--goldens", str(goldens),
+         "--audio", str(wav), "--workdir", str(tmp_path / "work"),
+         "--type", "f32", "--platform", "cpu", "--max-tokens", "3"],
+        cwd="/root/repo", capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    verdict = json.loads(out.stdout.strip().splitlines()[-1])
+    assert verdict["passed"] is True
+    for gate in ("fa_convert", "fa_dump", "fa_audio_features.npy",
+                 "fa_ts_logits.npy", "fa_align", "fa_words"):
+        assert verdict["results"][gate] is True, gate
