@@ -177,7 +177,7 @@ def shard_encoder_params(params: dict, mesh: Mesh) -> dict:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "audio_offset", "max_tokens", "mesh",
-                     "cache_dtype"),
+                     "cache_dtype", "mega_batch_limit", "_mega_interpret"),
 )
 def batched_transcribe_step(
     dec_params: dict,
@@ -190,6 +190,8 @@ def batched_transcribe_step(
     max_tokens: int,
     mesh: Mesh | None = None,
     cache_dtype=jnp.bfloat16,
+    mega_batch_limit: int = 16,
+    _mega_interpret: bool = False,
 ):
     """vmapped greedy generation over a batch of utterances.
 
@@ -205,26 +207,45 @@ def batched_transcribe_step(
     from qwen3_asr_tpu.models.generate import generate_greedy
 
     use_mega_batch = ("mega" in dec_params and mesh is None
-                      and cache_dtype == jnp.int8
-                      # the batched kernel unrolls attention per sequence —
-                      # past ~16 sequences compile time and kernel code
-                      # size outgrow the win
-                      and tokens.shape[0] <= 16)
+                      and cache_dtype == jnp.int8)
     if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
-        if has_pallas_tpu():
+        if has_pallas_tpu() or _mega_interpret:
             # single-device batched megakernel: one Pallas launch advances
-            # the whole batch one token; the int8 weight stream is read
-            # once per step instead of once per sequence. 3880 tok/s
-            # aggregate at B=8 vs 803 for the vmapped XLA step (v5e).
+            # up to `mega_batch_limit` sequences one token; the int8
+            # weight stream is read once per step instead of once per
+            # sequence. 3880 tok/s aggregate at B=8 vs 803 for the
+            # vmapped XLA step (v5e). The kernel unrolls attention per
+            # sequence, so past ~16 sequences compile time and kernel
+            # code size outgrow the win — larger batches run as
+            # sequential <=16-sequence chunks (weights re-read once per
+            # chunk: at B=32 that is 2 weight streams per global step,
+            # still ~8x fewer than 32 single streams; no cliff onto the
+            # vmapped XLA step).
             from qwen3_asr_tpu.models.generate import (
                 generate_greedy_batch_mega,
             )
 
-            return generate_greedy_batch_mega(
-                dec_params, cfg, tokens, n_prompt, audio, n_audio,
-                audio_offset, max_tokens)
+            # call the unjitted body: we are already inside this jit, and
+            # nesting the inner jit at two chunk shapes trips an XLA
+            # closed_call lowering-cache bug (jax 0.9.0)
+            fn = getattr(generate_greedy_batch_mega, "__wrapped__",
+                         generate_greedy_batch_mega)
+            B = tokens.shape[0]
+            lim = max(1, mega_batch_limit)
+            outs, nks = [], []
+            for s in range(0, B, lim):
+                e = min(B, s + lim)
+                o, nk = fn(
+                    dec_params, cfg, tokens[s:e], n_prompt[s:e],
+                    audio[s:e], n_audio[s:e], audio_offset, max_tokens,
+                    _mega_interpret)
+                outs.append(o)
+                nks.append(nk)
+            if len(outs) == 1:
+                return outs[0], nks[0]
+            return jnp.concatenate(outs, 0), jnp.concatenate(nks, 0)
     if "mega" in dec_params:
         # the single-seq megakernel has no batch dim and the manual DMA
         # ring has no sharding story — the vmapped XLA step takes over
