@@ -32,7 +32,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "4"))
     seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "20"))
     n_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
-    quant = {"0": "", "1": "q8_0", "2": "int8pc"}[
+    quant = {"0": "", "1": "q8_0", "2": "int8pc", "3": "int4"}[
         os.environ.get("BENCH_QUANT", "2")
     ]
 

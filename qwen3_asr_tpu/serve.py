@@ -377,10 +377,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-tokens", type=int, default=1024)
     p.add_argument("--quantize", default="auto",
-                   choices=["auto", "none", "q8_0", "int8pc"],
+                   choices=["auto", "none", "q8_0", "int8pc", "int4"],
                    help="int8 decode path: q8_0 (Pallas dequant kernels) or "
                         "int8pc (per-channel W8A8 on the int8 MXU); auto = "
-                        "int8pc for dense GGUFs")
+                        "int8pc for dense GGUFs; int4 nibble-packs the "
+                        "decode megakernels' weight stream (fastest decode; "
+                        "coarser 4-bit weights, prefill stays int8)")
     p.add_argument("--kv-cache", default="int8", choices=["int8", "bf16"],
                    help="KV cache dtype. int8 (default) enables the batched "
                         "decode megakernel — ~3.3x aggregate decode "

@@ -124,8 +124,9 @@ def test_align_batch_matches_single(rng):
 
 def test_quantized_bucketed_pipeline_runs(rng):
     """Serving combo: int8 modes x mel bucketing through the full pipeline
-    (q8_0 exercises the Pallas fallbacks on CPU; int8pc the XLA int8 dots)."""
-    for mode in ("q8_0", "int8pc"):
+    (q8_0 exercises the Pallas fallbacks on CPU; int8pc the XLA int8 dots;
+    int4 packs the megakernel stream and falls back to int8pc off-TPU)."""
+    for mode in ("q8_0", "int8pc", "int4"):
         cfg = tiny_asr_config()
         asr = Qwen3ASR(dtype=jnp.float32, quantize=mode)
         asr.load_random(cfg, seed=11,
