@@ -49,7 +49,17 @@ KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # the live context, not the allocated cache
 INT4_GROUP = 512  # int4 mode: rows per (group, out-column) scale — the
                   # finest grouping whose scale rows still fit the existing
-                  # [*, 8, co] scale blocks (wd's 3072-row in dim -> 6 rows)
+                  # [*, 8, co] scale blocks (wd's 3072-row in dim -> 6 rows).
+                  # QWEN3_INT4_GROUP=1024 coarsens to one group per DMA
+                  # chunk: the in-kernel dot stays unsplit (same compute
+                  # shape as int8) at ~2x the weight quantization error —
+                  # a perf/quality experiment knob, not the default.
+
+
+def _int4_group() -> int:
+    import os
+
+    return int(os.environ.get("QWEN3_INT4_GROUP", str(INT4_GROUP)))
 _NEG = -0.7 * float(np.finfo(np.float32).max)
 
 
@@ -90,7 +100,7 @@ def _int4_group_for(n_in: int) -> int:
     import math
 
     base = math.gcd(n_in, CHUNK_IN)
-    g = min(INT4_GROUP, base)
+    g = min(_int4_group(), base)
     while base % g:
         g -= 1
     if n_in % 2 or n_in // g > 8:
