@@ -199,22 +199,30 @@ def batched_transcribe_step(
     the tp rules, XLA runs dp-many independent decodes with tp-sharded
     matmuls — the multi-file batch mode of BASELINE.json config 5.
 
-    cache_dtype=jnp.int8 on a single Pallas device routes through the
-    batched decode megakernel (int8 KV is its only mode) — the serving
-    daemon's default. bf16 keeps the vmapped XLA step so the KV numerics
-    follow the caller's setting, never the routing.
+    cache_dtype=jnp.int8 on a Pallas device routes through the batched
+    decode megakernel (int8 KV is its only mode) — the serving daemon's
+    default. On a pure-dp mesh (tp == 1) the kernel runs under shard_map:
+    decode is communication-free across sequences, so every chip advances
+    its local batch shard through the same chunked kernel loop with the
+    replicated weight stream read once per chip per step. tp > 1 takes
+    the vmapped XLA step (the in-kernel DMA ring has no cross-chip
+    story — XLA inserts the tp collectives from the weight shardings).
+    bf16 keeps the vmapped XLA step so the KV numerics follow the
+    caller's setting, never the routing.
     """
     from qwen3_asr_tpu.models.generate import generate_greedy
 
-    use_mega_batch = ("mega" in dec_params and mesh is None
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    use_mega_batch = ("mega" in dec_params and tp == 1
                       and cache_dtype == jnp.int8)
     if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         if has_pallas_tpu() or _mega_interpret:
-            # single-device batched megakernel: one Pallas launch advances
-            # up to `mega_batch_limit` sequences one token; the int8
-            # weight stream is read once per step instead of once per
+            # batched megakernel: one Pallas launch advances up to
+            # `mega_batch_limit` sequences one token; the int8 weight
+            # stream is read once per step instead of once per
             # sequence. 3880 tok/s aggregate at B=8 vs 803 for the
             # vmapped XLA step (v5e). The kernel unrolls attention per
             # sequence, so past ~16 sequences compile time and kernel
@@ -232,23 +240,48 @@ def batched_transcribe_step(
             # closed_call lowering-cache bug (jax 0.9.0)
             fn = getattr(generate_greedy_batch_mega, "__wrapped__",
                          generate_greedy_batch_mega)
-            B = tokens.shape[0]
             lim = max(1, mega_batch_limit)
-            outs, nks = [], []
-            for s in range(0, B, lim):
-                e = min(B, s + lim)
-                o, nk = fn(
-                    dec_params, cfg, tokens[s:e], n_prompt[s:e],
-                    audio[s:e], n_audio[s:e], audio_offset, max_tokens,
-                    _mega_interpret)
-                outs.append(o)
-                nks.append(nk)
-            if len(outs) == 1:
-                return outs[0], nks[0]
-            return jnp.concatenate(outs, 0), jnp.concatenate(nks, 0)
+
+            def run_mega(p, tk, npr, au, na):
+                outs, nks = [], []
+                for s in range(0, tk.shape[0], lim):
+                    e = min(tk.shape[0], s + lim)
+                    o, nk = fn(
+                        p, cfg, tk[s:e], npr[s:e], au[s:e], na[s:e],
+                        audio_offset, max_tokens, _mega_interpret)
+                    outs.append(o)
+                    nks.append(nk)
+                if len(outs) == 1:
+                    return outs[0], nks[0]
+                return jnp.concatenate(outs, 0), jnp.concatenate(nks, 0)
+
+            if dp == 1:
+                return run_mega(dec_params, tokens, n_prompt, audio,
+                                n_audio)
+            # dp-sharded megakernel (shard_map over 'dp'): weights enter
+            # replicated (P()), the batch axes split across chips, and
+            # each chip runs the chunk loop on its local shard with no
+            # collectives. check_vma off: the kernel's manual DMAs carry
+            # no varying-manual-axes info.
+            B = tokens.shape[0]
+            pad = -B % dp
+            if pad:
+                ext = lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+                tokens, n_prompt, audio, n_audio = (
+                    ext(tokens), ext(n_prompt), ext(audio), ext(n_audio))
+            out, nk = jax.shard_map(
+                run_mega,
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp")),
+                check_vma=False,
+            )(dec_params, tokens, n_prompt, audio, n_audio)
+            return out[:B], nk[:B]
     if "mega" in dec_params:
-        # the single-seq megakernel has no batch dim and the manual DMA
-        # ring has no sharding story — the vmapped XLA step takes over
+        # the single-seq megakernel has no batch dim, and under tp the
+        # manual DMA ring has no cross-chip sharding story — the vmapped
+        # XLA step takes over
         dec_params = {k: v for k, v in dec_params.items() if k != "mega"}
 
     # note: the pallas decode-attention kernel stays ON under vmap —
