@@ -30,13 +30,17 @@ def main():
     seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "92"))
     n_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "323"))
     n_words = int(os.environ.get("BENCH_WORDS", "183"))
-    quant = {"0": "", "1": "q8_0", "2": "int8pc"}[
-        os.environ.get("BENCH_QUANT", "2")
+    # default mirrors bench.py: int4 decode weight stream + int8 KV (the
+    # fastest shipping config); BENCH_QUANT=2 for the int8pc
+    # greedy-argmax-parity config, BENCH_KV_INT8=0 for a bf16 cache
+    quant = {"0": "", "1": "q8_0", "2": "int8pc", "3": "int4"}[
+        os.environ.get("BENCH_QUANT", "3")
     ]
+    kv_int8 = os.environ.get("BENCH_KV_INT8", "1") != "0"
 
     table = _byte_to_unicode()
 
-    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=quant)
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize=quant, kv_int8=kv_int8)
     acfg = ASRModelConfig()
     vocab = [table[b] for b in range(256)]
     vocab += [f"[PAD{i}]" for i in range(256, acfg.decoder.vocab_size)]
@@ -94,7 +98,8 @@ def main():
             "decode_tokens": n_tokens,
             "words": n_words,
             "device": str(jax.devices()[0]),
-            "weights": "synthetic-bf16" + (f"+{quant}" if quant else ""),
+            "weights": "synthetic-bf16" + (f"+{quant}" if quant else "")
+                       + ("+kv8" if kv_int8 else ""),
         },
     }
     print(json.dumps(result))
