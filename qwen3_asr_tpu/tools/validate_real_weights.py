@@ -13,7 +13,11 @@ ForcedAligner), this runs the full gate the reference test harness defines
   3. compare against HF-derived goldens at the reference tolerances:
      mel @ 1e-4, encoder @ 2e-2, decoder logits @ 1e-2,
   4. transcribe the sample clip end-to-end and gate WER against the
-     golden transcript (tools/compute_wer; exact-match reported too),
+     golden transcript (tools/compute_wer; exact-match reported too);
+     with --quantize, transcribe again in that fast decode config
+     (int8pc / int4 weight stream, --kv-int8 for the int8 KV cache) and
+     gate its WER separately — quantifying the quality cost of the
+     shipping fast configs on the real checkpoint,
   5. (with --fa-hf-dir) the forced-aligner leg: convert the FA checkpoint,
      dump FA encoder features + classify logits at the <ts> prompt
      positions (dump_intermediates --aligner), gate them at the same
@@ -122,6 +126,15 @@ def main(argv=None) -> int:
                    help="JAX platform override (e.g. cpu)")
     p.add_argument("--max-tokens", type=int, default=1024,
                    help="decode budget for the end-to-end transcription")
+    p.add_argument("--quantize", default="",
+                   choices=["", "q8_0", "int8pc", "int4"],
+                   help="also transcribe with this decode quantization and "
+                        "gate its WER separately — quantifies the quality "
+                        "cost of the fast configs (int4 is the bench "
+                        "default) on the real checkpoint")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="use the int8 KV cache for the quantized "
+                        "transcription leg (the shipping fast config)")
     args = p.parse_args(argv)
 
     args.workdir.mkdir(parents=True, exist_ok=True)
@@ -177,6 +190,30 @@ def main(argv=None) -> int:
             "--ref", str(golden_txt), "--hyp", str(hyp),
             "--threshold", str(WER_THRESHOLD),
         ])
+
+    # 4b. quantized-config WER gate: the fast decode configs (int8pc /
+    # int4 weight stream, optionally int8 KV) perturb logits — this leg
+    # measures what that costs in WER on the real checkpoint, gated at
+    # the same threshold as the dense transcript.
+    if args.quantize and results["transcribe"]:
+        hyp_q = args.workdir / f"transcript_{args.quantize}.txt"
+        cli_q = ["qwen3_asr_tpu.cli", "-m", str(gguf),
+                 "-f", str(args.audio), "--no-timing",
+                 "--max-tokens", str(args.max_tokens),
+                 "--quantize", args.quantize, "-o", str(hyp_q)]
+        if args.kv_int8:
+            cli_q += ["--kv-int8"]
+        if args.platform:
+            cli_q += ["--platform", args.platform]
+        results[f"transcribe_{args.quantize}"] = _run(
+            f"end-to-end transcription ({args.quantize})", cli_q)
+        if golden_txt.exists() and results[f"transcribe_{args.quantize}"]:
+            results[f"wer_{args.quantize}"] = _run(
+                f"WER gate ({args.quantize}) @ {WER_THRESHOLD}", [
+                    "qwen3_asr_tpu.tools.compute_wer",
+                    "--ref", str(golden_txt), "--hyp", str(hyp_q),
+                    "--threshold", str(WER_THRESHOLD),
+                ])
 
     # 5. forced-aligner leg (VERDICT r2 next-3): both models validate in
     # one command on the first machine that has the real checkpoints

@@ -106,14 +106,16 @@ def test_validate_real_weights_recipe(tmp_path, rng):
         [sys.executable, "-m", "qwen3_asr_tpu.tools.validate_real_weights",
          "--hf-dir", str(hf_dir), "--goldens", str(goldens),
          "--audio", str(wav), "--workdir", str(tmp_path / "work"),
-         "--type", "f32", "--platform", "cpu", "--max-tokens", "3"],
+         "--type", "f32", "--platform", "cpu", "--max-tokens", "3",
+         "--quantize", "int4", "--kv-int8"],
         cwd="/root/repo", capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
     verdict = json.loads(out.stdout.strip().splitlines()[-1])
     assert verdict["passed"] is True
-    # every reference gate actually ran (nothing silently skipped)
+    # every reference gate actually ran (nothing silently skipped),
+    # including the quantized-config WER leg (int4 = the bench default)
     for gate in ("mel.npy", "audio_features.npy", "decoder_logits.npy",
-                 "transcript_exact", "wer"):
+                 "transcript_exact", "wer", "transcribe_int4", "wer_int4"):
         assert verdict["results"][gate] is True, gate
 
 
