@@ -17,12 +17,35 @@ used by the tests (mirrors the portable f64 path, mel_spectrogram.cpp:569-600).
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from qwen3_asr_tpu.config import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE
+
+# device-resident transposed filterbanks, uploaded once per distinct host
+# array: on a network-attached chip the per-call ~100 KB upload costs a
+# full host-link round trip per file. Keyed by id() with a weakref guard
+# against id reuse after gc; filterbanks are long-lived pipeline state.
+_FILTERS_T_DEV: dict[int, tuple] = {}
+
+
+def filters_t_device(filters) -> jax.Array:
+    """[n_mels, 201] host filterbank -> cached [201, n_mels] device array
+    (pass-through if already a jax.Array, assumed pre-transposed)."""
+    if isinstance(filters, jax.Array):
+        return filters
+    key = id(filters)
+    hit = _FILTERS_T_DEV.get(key)
+    if hit is not None and hit[0]() is filters:
+        return hit[1]
+    dev = jnp.asarray(np.ascontiguousarray(filters.T))
+    if len(_FILTERS_T_DEV) >= 8:  # bound growth (tests create many)
+        _FILTERS_T_DEV.clear()
+    _FILTERS_T_DEV[key] = (weakref.ref(filters), dev)
+    return dev
 
 _LOG_FLOOR = 1e-10
 
@@ -243,7 +266,7 @@ def log_mel_spectrogram(
     # computes the max over n_len frames only, mel_spectrogram.cpp:603-612)
     n_copy = min(need, len(padded), len(buf))
     buf[:n_copy] = padded[:n_copy]
-    out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), dev_frames)
+    out = _mel_device(jnp.asarray(buf), filters_t_device(filters), dev_frames)
     out = out[:n_frames].T  # [n_mels, n_frames]
     return np.asarray(out) if as_numpy else out
 
@@ -284,7 +307,7 @@ def log_mel_spectrogram_padded_batch(
         need = (nf - 1) * HOP_LENGTH + N_FFT
         n_copy = min(need, len(padded), buf.shape[1])
         buf[b, :n_copy] = padded[:n_copy]
-    out = _mel_device_batch(jnp.asarray(buf), jnp.asarray(filters.T), F_b,
+    out = _mel_device_batch(jnp.asarray(buf), filters_t_device(filters), F_b,
                             jnp.asarray(np.asarray(n_frames, np.int32)))
     return jnp.transpose(out, (0, 2, 1)), n_frames  # [B, n_mels, F_b]
 
@@ -312,6 +335,6 @@ def log_mel_spectrogram_padded(
     buf = np.zeros((dev_frames + 2) * HOP_LENGTH, dtype=samples.dtype)
     n_copy = min(need, len(padded), len(buf))
     buf[:n_copy] = padded[:n_copy]
-    out = _mel_device(jnp.asarray(buf), jnp.asarray(filters.T), dev_frames,
+    out = _mel_device(jnp.asarray(buf), filters_t_device(filters), dev_frames,
                       jnp.int32(n_frames))
     return out.T, n_frames  # [n_mels, F_b]

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qwen3_asr_tpu.audio.mel import _mel_device, num_mel_frames, reflect_pad
+from qwen3_asr_tpu.audio.mel import (
+    _mel_device,
+    filters_t_device as _filters_t_device,
+    num_mel_frames,
+    reflect_pad,
+)
 from qwen3_asr_tpu.config import HOP_LENGTH, ASRModelConfig
 from qwen3_asr_tpu.models.encoder import _encode_jit, chunk_output_len
 from qwen3_asr_tpu.models.generate import generate_greedy
@@ -116,7 +121,7 @@ def align_fused(
     toks[:n_real] = input_tokens
 
     pred = _align_fused_jit(
-        params, cfg, jnp.asarray(buf), jnp.asarray(filters.T),
+        params, cfg, jnp.asarray(buf), _filters_t_device(filters),
         jnp.asarray(toks), jnp.int32(n_real), n_frames, audio_offset,
     )
     return np.asarray(pred)[:n_real]
@@ -147,8 +152,11 @@ def transcribe_fused(
     offset = audio_start_pos(prompt, cfg.decoder)
 
     out, n_kept = _transcribe_fused_jit(
-        params, cfg, jnp.asarray(buf), jnp.asarray(filters.T),
+        params, cfg, jnp.asarray(buf), _filters_t_device(filters),
         jnp.asarray(np.asarray(prompt, np.int32)), n_frames, offset,
         max_tokens, cache_dtype,
     )
-    return np.asarray(out), int(n_kept)
+    # one bulk fetch: separate np.asarray(out) + int(n_kept) cost two
+    # host-link round trips on a network-attached chip
+    out, n_kept = jax.device_get((out, n_kept))
+    return out, int(n_kept)

@@ -335,7 +335,8 @@ class Qwen3ASR:
                     params.max_tokens,
                     cache_dtype=self._cache_dtype(),
                 )
-                result.tokens = [int(t) for t in np.asarray(out)[: int(n_kept)]]
+                out, n_kept = jax.device_get((out, n_kept))  # one fetch
+                result.tokens = [int(t) for t in out[: int(n_kept)]]
         result.t_decode_ms = (time.perf_counter() - t0) * 1000
         result.text = self.tokenizer.decode(result.tokens)
         result.success = True
@@ -464,8 +465,7 @@ class Qwen3ASR:
             jnp.asarray(n_audio_arr), offsets[0], params.max_tokens,
             mesh=mesh, cache_dtype=self._cache_dtype(),
         )
-        out = np.asarray(out)
-        n_kept = np.asarray(n_kept)
+        out, n_kept = jax.device_get((out, n_kept))  # one fetch
         t_ms = (time.perf_counter() - t_total) * 1000
 
         for b, i in enumerate(valid):
