@@ -120,9 +120,10 @@ def align_fused(
                    np.int32)
     toks[:n_real] = input_tokens
 
+    buf_d, toks_d = jax.device_put((buf, toks))  # one batched upload
     pred = _align_fused_jit(
-        params, cfg, jnp.asarray(buf), _filters_t_device(filters),
-        jnp.asarray(toks), jnp.int32(n_real), n_frames, audio_offset,
+        params, cfg, buf_d, _filters_t_device(filters),
+        toks_d, jnp.int32(n_real), n_frames, audio_offset,
     )
     return np.asarray(pred)[:n_real]
 
@@ -151,10 +152,12 @@ def transcribe_fused(
     prompt = build_asr_prompt(n_audio, cfg.decoder, system_prompt_tokens)
     offset = audio_start_pos(prompt, cfg.decoder)
 
+    # one batched upload for both inputs (separate jnp.asarray calls are
+    # separate host-link transfers)
+    buf_d, prompt_d = jax.device_put((buf, np.asarray(prompt, np.int32)))
     out, n_kept = _transcribe_fused_jit(
-        params, cfg, jnp.asarray(buf), _filters_t_device(filters),
-        jnp.asarray(np.asarray(prompt, np.int32)), n_frames, offset,
-        max_tokens, cache_dtype,
+        params, cfg, buf_d, _filters_t_device(filters),
+        prompt_d, n_frames, offset, max_tokens, cache_dtype,
     )
     # one bulk fetch: separate np.asarray(out) + int(n_kept) cost two
     # host-link round trips on a network-attached chip
