@@ -179,3 +179,48 @@ def test_fused_matches_staged(rng):
     )
     # int16/f32 differ by <1 LSB of PCM; greedy tokens should agree here
     assert list(out2[:n_kept2]) == staged.tokens
+
+
+def test_streaming_rides_int4_megakernel(rng):
+    """The int4 weight-stream pack is transparent to the streaming path:
+    generate_greedy_streaming (int8 KV, interpret megakernel) must produce
+    the same tokens as the batched int4 megakernel loop at B=1 — both ride
+    the same nibble-packed stream, so divergence is a glue bug."""
+    import jax
+
+    from qwen3_asr_tpu.models.generate import generate_greedy_batch_mega
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg = tiny_asr_config()
+    dcfg = cfg.decoder
+    dec = init_asr_params(cfg, seed=3, dtype=jnp.bfloat16)["decoder"]
+    dec = jax.tree.map(lambda x: np.asarray(x), dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    dec["mega"] = pack_megakernel_params(dec, dcfg, int4=True)
+
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = [5, 6] + [dcfg.audio_pad_token_id] * n_audio + [7]
+    P = 16
+    toks = np.zeros(P, np.int32)
+    toks[: len(prompt)] = prompt
+    max_tokens = 6
+
+    out_b, nk_b = generate_greedy_batch_mega(
+        dec, dcfg, jnp.asarray(toks)[None], jnp.asarray([len(prompt)],
+                                                        jnp.int32),
+        jnp.asarray(audio)[None], jnp.asarray([n_audio], jnp.int32),
+        2, max_tokens, interpret=True)
+    expected = list(np.asarray(out_b)[0][: int(nk_b[0])])
+
+    for chunk in (3, 8):
+        got = generate_greedy_streaming(
+            dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+            jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+            cache_dtype=jnp.int8, chunk=chunk, _force_mega_interpret=True,
+        )
+        assert got == expected, chunk
