@@ -339,6 +339,24 @@ def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Ar
     )
 
 
+def lm_logits_block(dec_params: dict, cfg: DecoderConfig,
+                    h: jax.Array) -> jax.Array:
+    """Tied lm head over a block of rows: [T, hidden] -> [T, vocab] f32.
+    Same head selection as lm_logits; used by the self-speculation verify
+    pass, which needs the greedy argmax at every drafted position."""
+    if "lm_head_q8" in dec_params:
+        return q8_norm_matmul(
+            h, dec_params["lm_head_q8"],
+            dec_params["output_norm"], cfg.rms_norm_eps,
+        )[:, : cfg.vocab_size]
+    x = rms_norm(h, dec_params["output_norm"], cfg.rms_norm_eps)
+    if "lm_head_pc" in dec_params:
+        return matmul_any(x.astype(jnp.float32), dec_params["lm_head_pc"])
+    return jnp.dot(
+        x, dec_params["token_embd"].T, preferred_element_type=jnp.float32
+    )
+
+
 def classify_logits(dec_params: dict, cfg: DecoderConfig, h: jax.Array) -> jax.Array:
     """Classification head over ALL positions: [T, hidden] -> [T, classes]
     f32 (forced_aligner.cpp:1068-1076)."""

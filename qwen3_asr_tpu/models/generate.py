@@ -437,6 +437,137 @@ def generate_greedy_batch_mega(
     return final[-1], final[3]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "max_tokens", "k", "interpret"),
+)
+def generate_greedy_spec(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,        # [P] int32, prompt padded to bucket P
+    n_prompt: jax.Array,      # scalar int32, real prompt length
+    audio: jax.Array | None,  # [N_max, hidden]
+    n_audio: jax.Array,       # scalar int32
+    audio_offset: int,
+    max_tokens: int,
+    k: int = 8,               # static: draft length per round
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Greedy self-speculation: draft `k` tokens per round through the
+    decode megakernel's (int4/int8) weight stream, then verify the whole
+    block in ONE k-row pass over the full-precision-contract (int8pc XLA)
+    weights — the verify stream is read once per round instead of once per
+    token (VERDICT r2 next-8).
+
+    Emitted tokens are ALWAYS the verify pass's argmaxes, so the output
+    equals the int8pc XLA path's greedy sequence (block-shaped logits; at
+    k=1 bitwise-identical to `generate_greedy`'s step logits) regardless
+    of draft quality — drafts only set how many verified tokens each
+    round yields. Requires a packed 'mega' entry and the int8 KV cache.
+
+    Returns (out [max_tokens], n_kept, stats) with stats =
+    {rounds, drafted, accepted} for acceptance-rate accounting.
+    """
+    from qwen3_asr_tpu.models.decoder import lm_logits_block
+    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i8
+
+    P = tokens.shape[0]
+    # room for one full draft block past the budget (the verify block at
+    # the last round may touch rows up to n_prompt + max_tokens + k - 2)
+    S = -(-(P + max_tokens + k) // 128) * 128
+    L = cfg.n_layers
+    NKV, HD = cfg.n_kv_heads, cfg.head_dim
+    DKV = NKV * HD
+    cache = init_kv_cache(cfg, S, jnp.int8)
+
+    # ---- prefill (identical to generate_greedy) ---------------------------
+    h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
+    h, cache = decoder_forward(
+        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
+        cache_offset=jnp.int32(0), kv_valid_len=n_prompt, prefill=True,
+    )
+    h_last = jax.lax.dynamic_index_in_dim(h, n_prompt - 1, axis=0,
+                                          keepdims=False)
+    first = jnp.argmax(lm_logits(dec_params, cfg, h_last)).astype(jnp.int32)
+
+    vparams = {key: val for key, val in dec_params.items() if key != "mega"}
+    k3 = cache["k"].reshape(L, S, DKV)
+    v3 = cache["v"].reshape(L, S, DKV)
+    ks = cache["k_s"].transpose(0, 2, 1)      # kernel wants lane dim = S
+    vs = cache["v_s"].transpose(0, 2, 1)
+
+    out0 = jnp.zeros((max_tokens + k,), jnp.int32).at[0].set(first)
+    done0 = first == cfg.eos_token_id
+    n0 = jnp.where(done0, 0, 1).astype(jnp.int32)
+    stats0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))  # rounds/drafted/acc
+
+    def cond(state):
+        n, _, done = state[0], state[1], state[2]
+        return (~done) & (n < max_tokens)
+
+    def body(state):
+        n, cur, done, k3, v3, ks, vs, out, st = state
+        pos0 = (n_prompt + n - 1).astype(jnp.int32)
+
+        # ---- draft: k megakernel steps on the fast weight stream. The
+        # rows they write are draft-weight-derived and are overwritten by
+        # the verify pass below; within the draft they only shape the
+        # draft's own attention.
+        def dbody(carry, j):
+            tok, k3, v3, ks, vs = carry
+            x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
+            nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
+                dec_params["mega"], cfg, x, pos0 + j, k3, v3, ks, vs,
+                interpret=interpret)
+            return (nxt, k3, v3, ks, vs), nxt
+
+        (_, k3, v3, ks, vs), d = jax.lax.scan(
+            dbody, (cur, k3, v3, ks, vs), jnp.arange(k, dtype=jnp.int32))
+
+        # ---- verify: ONE k-row block pass over the contract weights.
+        # Inputs are [cur, d0..d_{k-2}] at positions pos0..pos0+k-1; the
+        # cache rows the draft wrote are not read (cache_mask stops at
+        # cache_offset) and get overwritten with verify-derived rows.
+        xb = jnp.concatenate([cur[None], d[:-1]])
+        hb = jnp.take(vparams["token_embd"], xb, axis=0)
+        vcache = {"k": k3.reshape(L, S, NKV, HD),
+                  "v": v3.reshape(L, S, NKV, HD),
+                  "k_s": ks.transpose(0, 2, 1),
+                  "v_s": vs.transpose(0, 2, 1)}
+        hv, vcache = decoder_forward(
+            vparams, cfg, hb, pos0 + jnp.arange(k, dtype=jnp.int32),
+            vcache, cache_offset=pos0, kv_valid_len=pos0 + k,
+        )
+        v = jnp.argmax(lm_logits_block(vparams, cfg, hv),
+                       axis=-1).astype(jnp.int32)
+        k3 = vcache["k"].reshape(L, S, DKV)
+        v3 = vcache["v"].reshape(L, S, DKV)
+        ks = vcache["k_s"].transpose(0, 2, 1)
+        vs = vcache["v_s"].transpose(0, 2, 1)
+
+        # ---- accept the verified prefix: v[i] is correct while the draft
+        # fed the true sequence, i.e. up to and including the first
+        # mismatch (standard greedy speculative acceptance).
+        mism = d != v
+        first_mism = jnp.where(jnp.any(mism), jnp.argmax(mism),
+                               jnp.int32(k - 1))
+        n_acc = jnp.minimum(first_mism + 1, max_tokens - n).astype(jnp.int32)
+        acc = jnp.arange(k) < n_acc
+        v_eos = acc & (v == cfg.eos_token_id)
+        has_eos = jnp.any(v_eos)
+        kept = jnp.where(has_eos, jnp.argmax(v_eos), n_acc).astype(jnp.int32)
+
+        out = jax.lax.dynamic_update_slice(out, v, (n,))
+        cur = jnp.where(kept > 0, v[jnp.maximum(kept - 1, 0)], cur)
+        st = (st[0] + 1, st[1] + k, st[2] + n_acc)
+        return n + kept, cur, done | has_eos, k3, v3, ks, vs, out, st
+
+    state = (n0, first, done0, k3, v3, ks, vs, out0, stats0)
+    n, _, _, _, _, _, _, out, st = jax.lax.while_loop(cond, body, state)
+    stats = {"rounds": st[0], "drafted": st[1], "accepted": st[2]}
+    return out[:max_tokens], n, stats
+
+
 def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int,
                 n_valid=None):
     """Single non-autoregressive causal pass -> per-position hidden states.

@@ -1,0 +1,94 @@
+"""Greedy self-speculation (models/generate.py::generate_greedy_spec):
+draft k tokens through the megakernel's int4 stream, verify the block in
+one pass over the int8pc contract weights. The output contract is exact
+equality with the XLA int8-KV greedy path REGARDLESS of draft quality —
+drafts only decide how many verified tokens each round yields."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import tiny_asr_config
+from qwen3_asr_tpu.models.generate import generate_greedy, generate_greedy_spec
+from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+from qwen3_asr_tpu.runtime.params import (
+    fuse_decoder_params,
+    init_asr_params,
+    quantize_decoder_params,
+)
+
+MAX = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_asr_config()
+    dcfg = cfg.decoder
+    dec = init_asr_params(cfg, seed=3, dtype=jnp.bfloat16)["decoder"]
+    dec = jax.tree.map(np.asarray, dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    mega = pack_megakernel_params(dec, dcfg, int4=True)
+
+    rng = np.random.default_rng(7)
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = [5, 6] + [dcfg.audio_pad_token_id] * n_audio + [7]
+    toks = np.zeros(16, np.int32)
+    toks[: len(prompt)] = prompt
+    args = (jnp.asarray(toks), jnp.int32(len(prompt)), jnp.asarray(audio),
+            jnp.int32(n_audio), 2, MAX)
+    out_b, nk_b = generate_greedy(dec, dcfg, *args, cache_dtype=jnp.int8)
+    base = [int(t) for t in np.asarray(out_b)[: int(nk_b)]]
+    return dcfg, dec, mega, args, base
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_spec_matches_xla_int8_greedy(setup, k):
+    """Token-for-token equality with the XLA int8-KV greedy path for any
+    draft length (k=1 is bitwise: a 1-row verify block IS the decode
+    step's shapes)."""
+    dcfg, dec, mega, args, base = setup
+    dm = dict(dec)
+    dm["mega"] = mega
+    out, n, stats = generate_greedy_spec(dm, dcfg, *args, k=k,
+                                         interpret=True)
+    got = [int(t) for t in np.asarray(out)[: int(n)]]
+    assert got == base, (k, stats)
+    assert int(stats["accepted"]) >= int(stats["rounds"])  # >=1 per round
+
+
+def test_spec_exact_under_corrupted_drafts(setup):
+    """Sign-flip every int8 leaf of the draft pack: acceptance collapses
+    to the forced 1-correction-per-round floor, but the emitted tokens
+    must still equal the baseline exactly — the verify pass, not the
+    draft, owns the output."""
+    dcfg, dec, mega, args, base = setup
+    bad = {}
+    for kk, vv in mega.items():
+        if getattr(vv, "dtype", None) == jnp.int8 and getattr(
+                vv, "ndim", 0) >= 2:
+            bad[kk] = (-np.asarray(vv)).astype(np.int8)
+        else:
+            bad[kk] = vv
+    dm = dict(dec)
+    dm["mega"] = bad
+    out, n, stats = generate_greedy_spec(dm, dcfg, *args, k=4,
+                                         interpret=True)
+    got = [int(t) for t in np.asarray(out)[: int(n)]]
+    assert got == base
+    # every round accepted exactly the one corrected token
+    assert int(stats["accepted"]) == int(stats["rounds"])
+
+
+def test_spec_eos_immediately(setup):
+    """EOS as the model's constant output: both paths keep zero tokens."""
+    dcfg, dec, mega, args, base = setup
+    eos_cfg = dataclasses.replace(dcfg, eos_token_id=base[0])
+    dm = dict(dec)
+    dm["mega"] = mega
+    out_b, nk_b = generate_greedy(dec, eos_cfg, *args, cache_dtype=jnp.int8)
+    out, n, _ = generate_greedy_spec(dm, eos_cfg, *args, k=4, interpret=True)
+    assert int(nk_b) == int(n) == 0
