@@ -150,13 +150,21 @@ def main():
             use_mega = False
     params = jax.device_put(params)
     dcfg = cfg.decoder
-    # BENCH_KV_INT8: int8 KV cache. Default ON — with the decode
-    # megakernels the int8 KV stream is strictly faster (0.698 vs 0.847
-    # ms/step at int4 weights; 1.075 vs 1.217 at int8). Only the
-    # non-megakernel XLA step is slower with it (per-step quantize/
-    # dequant outweighs the bytes saved there). BENCH_KV_INT8=0 for bf16.
-    cache_dtype = (jnp.bfloat16 if os.environ.get("BENCH_KV_INT8") == "0"
-                   else jnp.int8)
+    # BENCH_KV: KV cache dtype — int8 (default), int4, or bf16. With the
+    # decode megakernels smaller KV is strictly faster (int8: 0.698 vs
+    # bf16 0.847 ms/step at int4 weights); only the non-megakernel XLA
+    # step loses (quantize/dequant outweighs the bytes saved there).
+    # int4 KV (nibble-packed rows) measured a wash at this context length
+    # (0.515 vs 0.517 ms/step — the KV stream hides behind the weight
+    # stream), so it stays opt-in: its value is long-context headroom.
+    # Legacy BENCH_KV_INT8=0 still forces bf16.
+    kv_mode = os.environ.get("BENCH_KV", "int8")
+    if os.environ.get("BENCH_KV_INT8") == "0":
+        kv_mode = "bf16"
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                   "int4": jnp.int4}[kv_mode]
+    if cache_dtype == jnp.int4 and not use_mega:
+        cache_dtype = jnp.int8  # int4 KV is megakernel-only
     unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     if unroll > 1:
         dcfg = dataclasses.replace(dcfg, scan_unroll=unroll)
@@ -300,7 +308,7 @@ def main():
         # the XLA decode step's cache dot spans the full allocated buffer
         rows = float(S_alloc)
     kv_bytes_per_tok = dcfg.n_kv_heads * dcfg.head_dim * 2  # k+v, per layer
-    kv_dtype_bytes = 1 if cache_dtype == jnp.int8 else 2
+    kv_dtype_bytes = {jnp.int4: 0.5, jnp.int8: 1}.get(cache_dtype, 2)
     kv_bytes = dcfg.n_layers * rows * kv_bytes_per_tok * kv_dtype_bytes
     step_ms = best["decode_ms"] / best["n_tokens"]
     hbm_gbps = (weight_bytes + kv_bytes) / (step_ms / 1e3) / 1e9
@@ -328,7 +336,8 @@ def main():
             "vs_baseline_tok_s": round(tok_s / 77.0, 2),
             "device": str(jax.devices()[0]),
             "weights": ("gguf" if gguf else "synthetic-bf16")
-            + (f"+{quant}" if quant else ""),
+            + (f"+{quant}" if quant else "")
+            + {jnp.int4: "+kv4", jnp.int8: "+kv8"}.get(cache_dtype, ""),
             "scan_unroll": unroll,
             "megakernel": use_mega,
             "has_pallas": pallas_ok,

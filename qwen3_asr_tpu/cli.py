@@ -62,6 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "the decode megakernel this is the fastest decode "
                         "config (931 vs 817 tok/s on a v5e); slightly "
                         "perturbs logits vs the default bf16 cache")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="int4 KV cache: the decode megakernel streams "
+                        "nibble-packed cache rows (quarter of bf16's "
+                        "context-proportional HBM bytes). ~4x int8's KV "
+                        "quantization error; overrides --kv-int8; runs "
+                        "as int8 off the megakernel")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="Greedy self-speculation: draft K tokens per round "
+                        "through the megakernel weight stream, verify the "
+                        "block in one int8pc pass. Output is exactly the "
+                        "int8pc greedy sequence; speed follows the "
+                        "acceptance rate. 0 = off (default)")
     p.add_argument("--fused", action="store_true", default=True,
                    help="Run each pipeline leg as ONE fused device program "
                         "(default; the benchmarked-fastest path)")
@@ -141,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         print_timing=args.print_timing,
         fused=args.fused,
         mel_bucket=args.mel_bucket,
+        spec_k=args.spec_k,
     )
     quantize = "" if args.quantize == "none" else args.quantize
 
@@ -156,7 +169,8 @@ def main(argv: list[str] | None = None) -> int:
 
         from qwen3_asr_tpu.pipeline.combined import transcribe_and_align
 
-        asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8)
+        asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8,
+                   kv_cache="int4" if args.kv_int4 else None)
         if not asr.load_model(args.model):
             _eprint(f"Error (ASR): {asr.error_msg}")
             return 1
@@ -237,7 +251,8 @@ def main(argv: list[str] | None = None) -> int:
     _eprint(f"  Audio: {args.audio}")
     _eprint(f"  Threads: {args.threads}\n")
 
-    asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8)
+    asr = Qwen3ASR(dtype=dtype, quantize=quantize, kv_int8=args.kv_int8,
+                   kv_cache="int4" if args.kv_int4 else None)
     if not asr.load_model(args.model):
         _eprint(f"Error: {asr.error_msg}")
         return 1

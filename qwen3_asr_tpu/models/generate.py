@@ -52,7 +52,12 @@ def generate_greedy(
     # 128-aligned for the megakernel's DMA slices (the int8-KV scale
     # arrays' lane dim is S); costs <1% extra cache rows
     S = -(-(P + max_tokens) // 128) * 128
-    cache = init_kv_cache(cfg, S, cache_dtype)
+    # int4 KV exists only as the megakernel's packed stream; prefill always
+    # writes the int8 layout, packed once before the decode loop. Real
+    # jnp.int4 arrays never cross the jit boundary (they crash the axon
+    # plugin's device_put) — cache_dtype=jnp.int4 is a static marker only.
+    kv_i4 = cache_dtype == jnp.int4
+    cache = init_kv_cache(cfg, S, jnp.int8 if kv_i4 else cache_dtype)
 
     # ---- prefill -----------------------------------------------------------
     h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
@@ -70,7 +75,7 @@ def generate_greedy(
     from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
     use_mega = ("mega" in dec_params
-                and cache_dtype in (jnp.bfloat16, jnp.int8)
+                and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
                 and has_pallas_tpu())
     if use_mega:
         # whole-step megakernel (ops/megakernel.py): every decode step is
@@ -80,7 +85,9 @@ def generate_greedy(
         # rows + per-(row, head) scales in the kernel's layout).
         from qwen3_asr_tpu.ops.megakernel import (
             mega_decode_step,
+            mega_decode_step_i4,
             mega_decode_step_i8,
+            pack_kv_int4,
         )
 
         L = cfg.n_layers
@@ -93,7 +100,21 @@ def generate_greedy(
             i, token = state[0], state[1]
             return (token != cfg.eos_token_id) & (i < max_tokens)
 
-        if kv_i8:
+        if kv_i4:
+            k3, ks = pack_kv_int4(k3, cache["k_s"])
+            v3, vs = pack_kv_int4(v3, cache["v_s"])
+
+            def body_m(state):
+                i, token, k3, v3, ks, vs, out = state
+                pos = (n_prompt + i - 1).astype(jnp.int32)
+                x = jnp.take(dec_params["token_embd"], token[None], axis=0)
+                nxt, k3, v3, ks, vs, _ = mega_decode_step_i4(
+                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs)
+                return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
+
+            state = (jnp.int32(1), first, k3, v3,
+                     ks.transpose(0, 2, 1), vs.transpose(0, 2, 1), out0)
+        elif kv_i8:
             def body_m(state):
                 i, token, k3, v3, ks, vs, out = state
                 pos = (n_prompt + i - 1).astype(jnp.int32)
@@ -266,6 +287,34 @@ def decode_chunk_mega_i8(dec_params, cfg, token, pos0, k3, v3, ks, vs,
     return out, i, k3, v3, ks, vs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
+                   donate_argnames=("k3", "v3", "ks", "vs"))
+def decode_chunk_mega_i4(dec_params, cfg, token, pos0, k3, v3, ks, vs,
+                         n_steps: int, limit, interpret: bool = False):
+    """decode_chunk through the int4-KV megakernel: nibble-packed caches
+    [L, S/2, DKV] + per-(row, head) scales [L, NKV, S]. Same contract as
+    decode_chunk_mega_i8."""
+    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i4
+
+    out0 = jnp.zeros((n_steps,), jnp.int32)
+
+    def cond(state):
+        i, tok = state[0], state[1]
+        return (i < limit) & (tok != cfg.eos_token_id)
+
+    def body(state):
+        i, tok, k3, v3, ks, vs, out = state
+        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
+        nxt, k3, v3, ks, vs, _ = mega_decode_step_i4(
+            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
+            k3, v3, ks, vs, interpret=interpret)
+        return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
+
+    i, _, k3, v3, ks, vs, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, k3, v3, ks, vs, out0))
+    return out, i, k3, v3, ks, vs
+
+
 def generate_greedy_streaming(
     dec_params, cfg, tokens, n_prompt, audio, n_audio,
     audio_offset: int, max_tokens: int,
@@ -284,23 +333,32 @@ def generate_greedy_streaming(
     from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
     use_mega = ("mega" in dec_params
-                and cache_dtype in (jnp.bfloat16, jnp.int8)
+                and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
                 and (has_pallas_tpu() or _force_mega_interpret))
+    kv_i4 = cache_dtype == jnp.int4
     P = tokens.shape[0]
     # int8-KV megakernel scale arrays put S on the 128-tiled lane dim
     align = 128 if use_mega else 8
     S = -(-(P + max_tokens) // align) * align
+    # int4 KV is megakernel-only: prefill writes the int8 layout (packed
+    # below); without the megakernel it just runs as int8
     token, cache = prefill_only(
         dec_params, cfg, tokens, n_prompt, audio, n_audio,
-        audio_offset, S, cache_dtype,
+        audio_offset, S, jnp.int8 if kv_i4 else cache_dtype,
     )
-    kv_i8 = cache_dtype == jnp.int8
+    kv_i8 = cache_dtype == jnp.int8 or (kv_i4 and not use_mega)
     if use_mega:
+        from qwen3_asr_tpu.ops.megakernel import pack_kv_int4
+
         L = cfg.n_layers
         DKV = cfg.n_kv_heads * cfg.head_dim
         k3 = cache["k"].reshape(L, S, DKV)
         v3 = cache["v"].reshape(L, S, DKV)
-        if kv_i8:
+        if kv_i4:
+            k3, ks = pack_kv_int4(k3, cache["k_s"])
+            v3, vs = pack_kv_int4(v3, cache["v_s"])
+            ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+        elif kv_i8:
             # prefill wrote [L, S, NKV] scales; the kernel wants lane = S
             ks = cache["k_s"].transpose(0, 2, 1)
             vs = cache["v_s"].transpose(0, 2, 1)
@@ -320,7 +378,13 @@ def generate_greedy_streaming(
         return out
     while True:
         limit = min(chunk, max_tokens - len(out))
-        if use_mega and kv_i8:
+        if use_mega and kv_i4:
+            succ, n, k3, v3, ks, vs = decode_chunk_mega_i4(
+                dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
+                k3, v3, ks, vs, chunk, jnp.int32(limit),
+                interpret=_force_mega_interpret,
+            )
+        elif use_mega and kv_i8:
             succ, n, k3, v3, ks, vs = decode_chunk_mega_i8(
                 dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
                 k3, v3, ks, vs, chunk, jnp.int32(limit),

@@ -325,7 +325,7 @@ def _mega_kernel(
     ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
-    kv_blocks, kv_i8: bool, w4: bool,
+    kv_blocks, kv_i8: bool, kv_i4: bool, w4: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -411,6 +411,8 @@ def _mega_kernel(
         sb, cb = kv_blocks[b]
         src_hbm, dst_vmem, kind = kv_streams[which]
         if kind == "rows":     # [L, S, DKV]: slice the sublane (row) dim
+            if kv_i4:          # nibble-packed pairs: half the byte rows
+                sb, cb = sb // 2, cb // 2
             src = src_hbm.at[l, pl.ds(sb, cb), :]
             dst = dst_vmem.at[pl.ds(sb, cb), :]
         else:                  # scales [L, NKV, S]: slice the lane dim
@@ -446,8 +448,9 @@ def _mega_kernel(
         def _():
             for _, dst, kind in kv_streams:
                 if kind == "rows":
-                    dst[sb:sb + cb, :] = jnp.zeros(
-                        (cb, dst.shape[-1]), dst.dtype)
+                    rb, rc = (sb // 2, cb // 2) if kv_i4 else (sb, cb)
+                    dst[rb:rb + rc, :] = jnp.zeros(
+                        (rc, dst.shape[-1]), dst.dtype)
                 else:
                     dst[:, sb:sb + cb] = jnp.zeros(
                         (dst.shape[0], cb), dst.dtype)
@@ -545,7 +548,16 @@ def _mega_kernel(
         attn_heads = []
         for h in range(NKV):  # static unroll
             q = q_all[h * group:(h + 1) * group, :]
-            kc = kbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
+            if kv_i4:
+                # packed [S/2, D] bytes -> [S, D] int4 (interleaved-lo-
+                # first = adjacent cache rows) -> f32. The int8 path
+                # already pays the int->f32 upcast, so this unpack adds
+                # only the (free) sublane bitcast.
+                kc = pltpu.bitcast(
+                    kbuf[:, h * D:(h + 1) * D], jnp.int4
+                ).astype(jnp.float32)
+            else:
+                kc = kbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
             s_cache = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -563,7 +575,12 @@ def _mega_kernel(
             p_cache = jnp.exp(s_cache - m)
             p_fresh = jnp.exp(s_fresh - m)
             denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
-            vc = vbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
+            if kv_i4:
+                vc = pltpu.bitcast(
+                    vbuf[:, h * D:(h + 1) * D], jnp.int4
+                ).astype(jnp.float32)
+            else:
+                vc = vbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
             if kv_i8:
                 # fold the V row scales into the probabilities instead of
                 # dequantizing the [S, D] value block
@@ -576,13 +593,14 @@ def _mega_kernel(
         # fresh K/V rows land in the aligned [L, 8, DKV] output; the caller
         # scatters row 0 of each block into the cache at `pos`
         if kv_i8:
+            qmax = 7.0 if kv_i4 else 127.0
             for name, rows_f32, out_q, out_s in (
                 ("k", k_all, fresh_k, fresh_ks),
                 ("v", v_all, fresh_v, fresh_vs),
             ):
                 amax = jnp.max(jnp.abs(rows_f32), axis=1, keepdims=True)
-                s = jnp.maximum(amax / 127.0, 1e-12)         # [NKV, 1]
-                q8 = jnp.clip(jnp.round(rows_f32 / s), -127, 127)
+                s = jnp.maximum(amax / qmax, 1e-12)          # [NKV, 1]
+                q8 = jnp.clip(jnp.round(rows_f32 / s), -qmax, qmax)
                 out_q[l, 0:1, :] = q8.astype(jnp.int8).reshape(1, DKV)
                 out_s[l, 0:1, :] = s.reshape(1, NKV)
         else:
@@ -682,13 +700,24 @@ def _mega_call(
     k_scale,             # [L, S, NKV] f32 cache scales (int8) or None
     v_scale,
     interpret: bool,
+    kv_i4: bool = False,
 ):
     """Shared pallas_call builder. The kernel emits the fresh per-layer K/V
     rows (+ scales in int8 mode) and the caller scatters them into the
     caches at row `pos` (fused in-place dynamic_update_slice — Mosaic
-    can't DMA single unaligned HBM rows)."""
+    can't DMA single unaligned HBM rows).
+
+    kv_i4: caches are nibble-packed int4 — [L, S/2, DKV] int8 bytes, byte
+    row r = rows (2r lo-nibble, 2r+1 hi-nibble), scales still [L, NKV, S]
+    f32. The cache stream halves again vs int8; the kernel's fresh rows
+    come back as unpacked int4 values and are merged into the packed byte
+    row here (a [L, 1, DKV] read-modify-write — XLA handles int8 shifts
+    fine; only Mosaic rejects them)."""
     kv_i8 = k_cache.dtype == jnp.int8
-    L, S, DKV = k_cache.shape
+    if kv_i4 and not kv_i8:
+        raise ValueError("kv_i4 expects nibble-packed int8 caches")
+    L, Sp, DKV = k_cache.shape
+    S = Sp * 2 if kv_i4 else Sp
     NKV = cfg.n_kv_heads
     H = cfg.hidden_size
     if S % 8:
@@ -722,7 +751,7 @@ def _mega_call(
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
         n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8,
-        w4=w4)
+        kv_i4=kv_i4, w4=w4)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -766,8 +795,8 @@ def _mega_call(
         scratch_shapes=[
             pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),  # weight ring
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
-            pltpu.VMEM((S, DKV), k_cache.dtype),
-            pltpu.VMEM((S, DKV), v_cache.dtype),
+            pltpu.VMEM((Sp, DKV), k_cache.dtype),
+            pltpu.VMEM((Sp, DKV), v_cache.dtype),
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # k scales
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # v scales
             pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
@@ -787,10 +816,32 @@ def _mega_call(
         k_cache, v_cache, ks_in, vs_in,
     )
     p = jnp.asarray(pos, jnp.int32)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, fresh_k[:, :1, :], (0, p, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, fresh_v[:, :1, :], (0, p, 0))
+    if kv_i4:
+        # merge the fresh int4 row into its packed byte row: even `pos` is
+        # the low nibble, odd the high (the _pack_nibbles / pltpu.bitcast
+        # interleaved-lo-first order)
+        def merge(cache, fresh):
+            pr = p // 2
+            old = jax.lax.dynamic_slice(cache, (0, pr, 0), (L, 1, DKV))
+            old_u = jax.lax.bitcast_convert_type(old, jnp.uint8)
+            new_u = jax.lax.bitcast_convert_type(
+                fresh[:, :1, :], jnp.uint8) & 0xF
+            merged = jnp.where(
+                p % 2 == 0,
+                (old_u & 0xF0) | new_u,
+                (new_u << 4) | (old_u & 0x0F),
+            )
+            return jax.lax.dynamic_update_slice(
+                cache, jax.lax.bitcast_convert_type(merged, jnp.int8),
+                (0, pr, 0))
+
+        k_cache = merge(k_cache, fresh_k)
+        v_cache = merge(v_cache, fresh_v)
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, fresh_k[:, :1, :], (0, p, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, fresh_v[:, :1, :], (0, p, 0))
     if kv_i8:
         # fresh scales: [L, 8, NKV] row 0 -> column `pos` of [L, NKV, S]
         k_scale = jax.lax.dynamic_update_slice(
@@ -843,3 +894,48 @@ def mega_decode_step_i8(
     k_scale, v_scale, h_dbg)."""
     return _mega_call(
         mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
+)
+def mega_decode_step_i4(
+    mega: dict,
+    cfg: DecoderConfig,
+    x: jax.Array,
+    pos: jax.Array,
+    k_cache: jax.Array,  # [L, S/2, DKV] int8: nibble-packed int4 rows
+    v_cache: jax.Array,
+    k_scale: jax.Array,  # [L, NKV, S] f32 per-(row, head) scales
+    v_scale: jax.Array,
+    interpret: bool = False,
+):
+    """int4-KV decode step: the context-proportional cache stream drops to
+    a QUARTER of the bf16 bytes. Adjacent cache rows share a byte (row 2r
+    = low nibble); the kernel expands blocks in-register via the sublane
+    int4 bitcast, the same free unpack the int4 weight stream uses. Row
+    values are +/-7 with per-(row, head) f32 scales — ~4x int8-KV's
+    quantization error, gated by the drift tests. -> (next_token, k_cache,
+    v_cache, k_scale, v_scale, h_dbg)."""
+    return _mega_call(
+        mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
+        kv_i4=True)
+
+
+@jax.jit
+def pack_kv_int4(kq: jax.Array, scale: jax.Array):
+    """Bulk int8 cache -> nibble-packed int4 cache (after prefill).
+
+    kq [L, S, DKV] int8 rows with per-(row, head) scales [L, S, NKV] (the
+    decoder's prefill layout). Requantizes the int8 values to +/-7 —
+    equivalent to quantizing the dequantized row with s4 = s8 * 127/7 —
+    and packs row pairs into bytes (row 2r -> low nibble). Returns
+    (packed [L, S/2, DKV] int8, scale4 [L, S, NKV] f32)."""
+    q4 = jnp.clip(jnp.round(kq.astype(jnp.float32) * (7.0 / 127.0)),
+                  -7, 7).astype(jnp.int8)
+    lo = jax.lax.bitcast_convert_type(q4[:, 0::2, :], jnp.uint8) & 0xF
+    hi = jax.lax.bitcast_convert_type(q4[:, 1::2, :], jnp.uint8) & 0xF
+    packed = jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
+    return packed, scale * (127.0 / 7.0)

@@ -51,6 +51,12 @@ class TranscribeParams:
     # device round trip (models/e2e.py; exact shapes, no progress
     # callback — fixed-length workloads)
     fused: bool = False
+    # spec_k>0: greedy self-speculation — draft k tokens per round through
+    # the megakernel's weight stream, verify the block in one int8pc
+    # XLA pass (models/generate.py::generate_greedy_spec). Output equals
+    # the int8pc XLA greedy sequence regardless of draft quality; needs a
+    # quantized model with the megakernel packed. Overrides fused/progress.
+    spec_k: int = 0
 
 
 @dataclasses.dataclass
@@ -68,7 +74,8 @@ class TranscribeResult:
 class Qwen3ASR:
     """End-to-end speech-to-text (model: Qwen3-ASR-0.6B GGUF)."""
 
-    def __init__(self, dtype=jnp.bfloat16, quantize=False, kv_int8=False):
+    def __init__(self, dtype=jnp.bfloat16, quantize=False, kv_int8=False,
+                 kv_cache: str | None = None):
         self.dtype = dtype
         # quantize: False (dense), True/"q8_0" (GGUF Q8_0 semantics, Pallas
         # dequant kernels — BASELINE.json config 4), "int8pc" (per-channel
@@ -82,6 +89,16 @@ class Qwen3ASR:
         # the reference keeps an F16 cache (text_decoder.cpp:337-386) and
         # KV quantization slightly perturbs logits.
         self.kv_int8 = bool(kv_int8)
+        # kv_cache: explicit dtype name ("bf16" / "int8" / "int4")
+        # overriding kv_int8. int4 is the megakernel's nibble-packed
+        # stream — the context-proportional HBM term drops to a quarter
+        # of bf16's; off the megakernel it runs as int8. ~4x int8's KV
+        # quantization error (drift-gated; WER-gate it on real weights
+        # before shipping, tools/validate_real_weights.py --kv-int4).
+        if kv_cache not in (None, "bf16", "int8", "int4"):
+            raise ValueError(f"kv_cache must be bf16/int8/int4, got "
+                             f"{kv_cache!r}")
+        self.kv_cache = kv_cache
         self.cfg: ASRModelConfig | None = None
         self.params = None
         self.tokenizer: BPETokenizer | None = None
@@ -181,6 +198,9 @@ class Qwen3ASR:
         # cost more than the bytes saved); the megakernel reads the int8
         # rows natively and flips the sign (931 vs 817 tok/s), so kv_int8
         # is worth it exactly when the megakernel is active.
+        if self.kv_cache is not None:
+            return {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                    "int4": jnp.int4}[self.kv_cache]
         return jnp.int8 if self.kv_int8 else jnp.bfloat16
 
     # -- transcription -------------------------------------------------------
@@ -213,7 +233,7 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
-        if (params.fused and params.mel_bucket == 0
+        if (params.fused and params.mel_bucket == 0 and params.spec_k == 0
                 and not (self._progress_cb or params.print_progress)):
             from qwen3_asr_tpu.models.e2e import transcribe_fused
 
@@ -308,7 +328,39 @@ class Qwen3ASR:
 
         t0 = time.perf_counter()
         with timer("decode.generate"):
-            if self._progress_cb or params.print_progress:
+            if params.spec_k > 0:
+                # greedy self-speculation: exact int8pc-XLA greedy outputs,
+                # weights read once per verify round instead of per token.
+                # Requires the packed megakernel (draft stream) + int8 KV.
+                from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+                if ("mega" not in self.params["decoder"]
+                        or not has_pallas_tpu()):
+                    result.error_msg = (
+                        "spec_k needs a quantized model with the decode "
+                        "megakernel (quantize='int8pc'/'auto'/'int4') on "
+                        "a Pallas TPU backend")
+                    return result
+                from qwen3_asr_tpu.models.generate import (
+                    generate_greedy_spec,
+                )
+
+                out, n_kept, stats = generate_greedy_spec(
+                    self.params["decoder"], dcfg,
+                    jnp.asarray(toks), jnp.int32(n_prompt),
+                    audio_padded, jnp.int32(n_audio), offset,
+                    params.max_tokens, k=params.spec_k,
+                )
+                out, n_kept, stats = jax.device_get((out, n_kept, stats))
+                result.tokens = [int(t) for t in out[: int(n_kept)]]
+                drafted = max(int(stats["drafted"]), 1)
+                print(
+                    f"spec: rounds={int(stats['rounds'])} "
+                    f"accepted={int(stats['accepted'])}/{drafted} "
+                    f"({int(stats['accepted']) / drafted:.0%})",
+                    file=sys.stderr, flush=True,
+                )
+            elif self._progress_cb or params.print_progress:
                 # streaming path: one dispatch per token, per-token progress
                 # (the reference's callback contract, qwen3_asr.cpp:264,289)
                 from qwen3_asr_tpu.models.generate import generate_greedy_streaming

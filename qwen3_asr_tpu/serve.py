@@ -383,11 +383,13 @@ def main(argv=None) -> int:
                         "int8pc for dense GGUFs; int4 nibble-packs the "
                         "decode megakernels' weight stream (fastest decode; "
                         "coarser 4-bit weights, prefill stays int8)")
-    p.add_argument("--kv-cache", default="int8", choices=["int8", "bf16"],
+    p.add_argument("--kv-cache", default="int8",
+                   choices=["int8", "bf16", "int4"],
                    help="KV cache dtype. int8 (default) enables the batched "
                         "decode megakernel — ~3.3x aggregate decode "
                         "throughput; bf16 matches the reference's F16-cache "
-                        "numerics exactly")
+                        "numerics exactly; int4 nibble-packs the single-"
+                        "sequence stream (batched serving still runs int8)")
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
@@ -401,7 +403,8 @@ def main(argv=None) -> int:
 
     asr = Qwen3ASR(dtype=jnp.bfloat16,
                    quantize="" if args.quantize == "none" else args.quantize,
-                   kv_int8=args.kv_cache == "int8")
+                   kv_int8=args.kv_cache == "int8",
+                   kv_cache="int4" if args.kv_cache == "int4" else None)
     if not asr.load_model(args.model):
         print(f"Error: {asr.error_msg}", file=sys.stderr)
         return 1

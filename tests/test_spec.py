@@ -92,3 +92,32 @@ def test_spec_eos_immediately(setup):
     out_b, nk_b = generate_greedy(dec, eos_cfg, *args, cache_dtype=jnp.int8)
     out, n, _ = generate_greedy_spec(dm, eos_cfg, *args, k=4, interpret=True)
     assert int(nk_b) == int(n) == 0
+
+
+def test_pipeline_spec_k_clean_error_off_tpu(tmp_path):
+    """Pipeline surface: spec_k on a CPU backend (no Pallas) must fail
+    with a clear message, not a kernel crash. Also covers the
+    TranscribeParams/CLI plumbing of spec_k."""
+    import sys
+
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__).parent)))
+    from helpers import make_byte_vocab, write_tiny_gguf
+
+    from qwen3_asr_tpu.config import tiny_asr_config
+    from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+    from qwen3_asr_tpu.runtime.params import init_asr_params
+
+    cfg = tiny_asr_config()
+    p = jax.tree.map(np.asarray,
+                     init_asr_params(cfg, 3, jnp.float32))
+    vocab = make_byte_vocab(cfg.decoder.vocab_size,
+                            {cfg.decoder.eos_token_id: "<|im_end|>"})
+    path = str(tmp_path / "m.gguf")
+    write_tiny_gguf(path, cfg, p, vocab=vocab, merges=[])
+    asr = Qwen3ASR(dtype=jnp.float32, quantize="int8pc")
+    assert asr.load_model(path)
+    audio = np.zeros(16000, np.float32)
+    res = asr.transcribe(audio, TranscribeParams(
+        max_tokens=4, spec_k=4, print_timing=False))
+    assert not res.success
+    assert "spec_k" in res.error_msg and "Pallas" in res.error_msg
