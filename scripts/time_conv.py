@@ -55,7 +55,7 @@ def im2col_conv(x, w):
     pat = jnp.concatenate(cols, axis=-1)           # [B, H/2, W/2, 9C]
     y = jnp.dot(pat.reshape(-1, 9 * C), w.reshape(9 * C, O),
                 preferred_element_type=jnp.float32)
-    return y.reshape(B, H // 2, W // 2, O)
+    return y.reshape(B, (H + 1) // 2, (W + 1) // 2, O)
 
 
 def conv_im2col(params, chunks, dtype=jnp.bfloat16):
