@@ -73,7 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "through the megakernel weight stream, verify the "
                         "block in one int8pc pass. Output is exactly the "
                         "int8pc greedy sequence; speed follows the "
-                        "acceptance rate. 0 = off (default)")
+                        "acceptance rate. Measured SLOWER than the plain "
+                        "int4 stream (which is the default and the fastest "
+                        "config); use only when int8pc-exact output is "
+                        "required. 0 = off (default)")
     p.add_argument("--fused", action="store_true", default=True,
                    help="Run each pipeline leg as ONE fused device program "
                         "(default; the benchmarked-fastest path)")

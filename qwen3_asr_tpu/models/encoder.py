@@ -135,8 +135,10 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
     return h
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
-def _encode_jit(params: dict, cfg: AudioEncoderConfig, mel: jax.Array, n_frames: int):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_frames", "allow_flash"))
+def _encode_jit(params: dict, cfg: AudioEncoderConfig, mel: jax.Array,
+                n_frames: int, allow_flash: bool = True):
     n_mel = cfg.n_mel_bins
     chunk = cfg.chunk_size
     n_chunks = -(-n_frames // chunk)
@@ -170,7 +172,8 @@ def _encode_jit(params: dict, cfg: AudioEncoderConfig, mel: jax.Array, n_frames:
         window = max_out * (cfg.n_window_infer // chunk)   # 104 for FA
 
     def body(carry, layer):
-        return _encoder_block(cfg, carry, layer, window), None
+        return _encoder_block(cfg, carry, layer, window,
+                              allow_flash=allow_flash), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
 
