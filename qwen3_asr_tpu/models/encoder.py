@@ -33,6 +33,10 @@ import numpy as np
 from qwen3_asr_tpu.config import AudioEncoderConfig
 from qwen3_asr_tpu.ops.attention import block_diagonal_attention, mha_attention
 
+# Minimum sequence length at which the Pallas flash-attention kernel beats
+# XLA's fused attention in the bidirectional encoder (see _encoder_block).
+FLASH_MIN_T = 1536
+
 
 def chunk_output_len(chunk_frames: int) -> int:
     """(len-1)//2+1 applied three times (audio_encoder.cpp:304-310)."""
@@ -111,7 +115,12 @@ def _encoder_block(cfg: AudioEncoderConfig, h, layer, window: int | None,
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         valid = jnp.int32(T) if n_valid is None else n_valid
-        if allow_flash and has_pallas_tpu() and T >= 512:
+        # Measured crossover on a v5e (scripts/time_enc_crossover.py):
+        # XLA's fused attention wins at T=1196 (10.8 vs 12.4 ms full
+        # encode, 18 layers), flash wins 1.5x at T=2392 and 2x at T=4784
+        # (the T^2 score materialization overtakes the kernel's fixed
+        # overhead). Gate at the interpolated break-even.
+        if allow_flash and has_pallas_tpu() and T >= FLASH_MIN_T:
             from qwen3_asr_tpu.ops.pallas_attention import flash_attention
 
             attn = flash_attention(q, k, v, valid, causal=False,
