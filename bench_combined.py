@@ -68,11 +68,16 @@ def main():
     params = TranscribeParams(max_tokens=n_tokens, print_timing=False,
                               fused=True)
 
+    from qwen3_asr_tpu.models.e2e import prepare_pcm
+
     def run():
+        # stage the 2.9 MB PCM on device ONCE for both legs — exactly what
+        # pipeline/combined.py does in fused mode
         t0 = time.perf_counter()
-        asr_result = asr.transcribe(audio, params)
+        prep = prepare_pcm(audio)
+        asr_result = asr.transcribe(prep, params)
         assert asr_result.success, asr_result.error_msg
-        align_result = fa.align(audio, text, fused=True)
+        align_result = fa.align(prep, text, fused=True)
         assert align_result.success, align_result.error_msg
         assert len(align_result.words) == n_words
         t1 = time.perf_counter()

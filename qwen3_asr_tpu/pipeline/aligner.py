@@ -276,6 +276,8 @@ class ForcedAligner:
         TranscribeParams.mel_bucket). `fused=True`: mel + encoder + NAR
         classify as ONE device round trip (exact shapes — fixed-length
         workloads; FA compute is tiny, dispatch latency dominates)."""
+        from qwen3_asr_tpu.models.e2e import PreparedPCM
+
         result = AlignmentResult()
         if self.params is None:
             result.error_msg = "Model not loaded"
@@ -290,6 +292,10 @@ class ForcedAligner:
             if sr != SAMPLE_RATE:
                 result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
                 return result
+        elif isinstance(audio, PreparedPCM):
+            # pre-staged device buffer (combined mode); only the fused
+            # exact-shape leg can consume the staged upload
+            samples = audio if (fused and not mel_bucket) else audio.samples
         else:
             samples = np.asarray(audio)
             if samples.dtype != np.int16:  # int16 PCM scales on device

@@ -213,6 +213,8 @@ class Qwen3ASR:
             result.error_msg = "Model not loaded"
             return result
 
+        from qwen3_asr_tpu.models.e2e import PreparedPCM
+
         if isinstance(audio, str):
             try:
                 samples, sr = load_wav(audio, raw_int16=True)
@@ -222,6 +224,8 @@ class Qwen3ASR:
             if sr != SAMPLE_RATE:
                 result.error_msg = f"Audio must be 16kHz, got {sr} Hz"
                 return result
+        elif isinstance(audio, PreparedPCM):
+            samples = audio  # pre-staged device buffer (combined mode)
         else:
             samples = np.asarray(audio)
             if samples.dtype != np.int16:  # int16 PCM scales on device
@@ -233,8 +237,13 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
-        if (params.fused and params.mel_bucket == 0 and params.spec_k == 0
-                and not (self._progress_cb or params.print_progress)):
+        fused_path = (params.fused and params.mel_bucket == 0
+                      and params.spec_k == 0
+                      and not (self._progress_cb or params.print_progress))
+        if not fused_path and hasattr(samples, "samples"):
+            samples = samples.samples  # PreparedPCM only helps fused legs
+
+        if fused_path:
             from qwen3_asr_tpu.models.e2e import transcribe_fused
 
             sys_tokens = (self.tokenizer.encode(params.system_prompt)

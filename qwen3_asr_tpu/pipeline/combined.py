@@ -34,6 +34,34 @@ def transcribe_and_align(
     (reference: main.cpp:457-469 does this in the combined driver)."""
     out = TranscribeAlignResult()
 
+    # Fused combined mode runs two fused programs over the SAME audio;
+    # stage the padded PCM on device ONCE so the second leg skips the
+    # ~2.9 MB re-upload (30-90 ms of host-link time per leg on a
+    # network-attached chip). Both models share the mel front-end.
+    if params is not None and params.fused and params.mel_bucket == 0:
+        from qwen3_asr_tpu.models.e2e import PreparedPCM, prepare_pcm
+
+        if isinstance(audio, str):
+            from qwen3_asr_tpu.audio import load_wav
+            from qwen3_asr_tpu.config import SAMPLE_RATE
+
+            # same load/validation/error surface the ASR leg would give
+            try:
+                samples, sr = load_wav(audio, raw_int16=True)
+            except Exception as e:
+                out.asr = TranscribeResult(
+                    error_msg=f"Failed to load audio file: {e}")
+                out.error_msg = f"ASR failed: {out.asr.error_msg}"
+                return out
+            if sr != SAMPLE_RATE:
+                out.asr = TranscribeResult(
+                    error_msg=f"Audio must be 16kHz, got {sr} Hz")
+                out.error_msg = f"ASR failed: {out.asr.error_msg}"
+                return out
+            audio = prepare_pcm(samples)
+        elif not isinstance(audio, PreparedPCM):
+            audio = prepare_pcm(audio)
+
     asr_result = asr.transcribe(audio, params)
     out.asr = asr_result
     if not asr_result.success:
