@@ -33,9 +33,13 @@ _FILTERS_T_DEV: dict[int, tuple] = {}
 
 
 def filters_t_device(filters) -> jax.Array:
-    """[n_mels, 201] host filterbank -> cached [201, n_mels] device array
-    (pass-through if already a jax.Array, assumed pre-transposed)."""
+    """[n_mels, 201] host filterbank -> cached [201, n_mels] device array.
+    A jax.Array passes through; it may arrive in either orientation (the
+    public mel entry points historically accepted a device-resident
+    [n_mels, 201] bank), disambiguated by shape (201 != n_mels)."""
     if isinstance(filters, jax.Array):
+        if filters.shape[0] != N_FFT // 2 + 1:  # [n_mels, 201] -> transpose
+            return filters.T
         return filters
     key = id(filters)
     hit = _FILTERS_T_DEV.get(key)

@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "block in one int8pc pass. Output is exactly the "
                         "int8pc greedy sequence; speed follows the "
                         "acceptance rate. Measured SLOWER than the plain "
-                        "int4 stream (which is the default and the fastest "
+                        "int4 stream (--quantize int4, the fastest "
                         "config); use only when int8pc-exact output is "
                         "required. 0 = off (default)")
     p.add_argument("--fused", action="store_true", default=True,

@@ -230,88 +230,71 @@ def decode_chunk(dec_params, cfg, token, pos0, cache, n_steps: int, limit):
     return out, i, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
-                   donate_argnames=("k3", "v3"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "step_name", "interpret"),
+    donate_argnames=("kvs",),
+)
+def _decode_chunk_mega_any(dec_params, cfg, token, pos0, kvs,
+                           n_steps: int, limit, step_name: str,
+                           interpret: bool = False):
+    """decode_chunk through a whole-step megakernel variant. `kvs` is the
+    flat cache tuple the step function threads — (k3, v3) for the bf16
+    kernel, (k3, v3, ks, vs) for the int8/int4-KV kernels (the step's
+    return is (token, *kvs, h_debug), so the tuple arity round-trips).
+    Same (successors, n_generated) contract as decode_chunk."""
+    from qwen3_asr_tpu.ops import megakernel
+
+    step = getattr(megakernel, step_name)
+    out0 = jnp.zeros((n_steps,), jnp.int32)
+
+    def cond(state):
+        i, tok = state[0], state[1]
+        return (i < limit) & (tok != cfg.eos_token_id)
+
+    def body(state):
+        i, tok, kvs, out = state
+        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
+        res = step(dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
+                   *kvs, interpret=interpret)
+        nxt, kvs = res[0], tuple(res[1:-1])
+        return i + 1, nxt, kvs, out.at[i].set(nxt)
+
+    i, _, kvs, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, kvs, out0))
+    return out, i, kvs
+
+
 def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
                       n_steps: int, limit, interpret: bool = False):
     """decode_chunk through the whole-step megakernel (bf16-KV flat
     caches [L, S, DKV]); same (successors, n_generated) contract."""
-    from qwen3_asr_tpu.ops.megakernel import mega_decode_step
-
-    out0 = jnp.zeros((n_steps,), jnp.int32)
-
-    def cond(state):
-        i, tok = state[0], state[1]
-        return (i < limit) & (tok != cfg.eos_token_id)
-
-    def body(state):
-        i, tok, k3, v3, out = state
-        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
-        nxt, k3, v3, _ = mega_decode_step(
-            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
-            k3, v3, interpret=interpret)
-        return i + 1, nxt, k3, v3, out.at[i].set(nxt)
-
-    i, _, k3, v3, out = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), token, k3, v3, out0))
+    out, i, (k3, v3) = _decode_chunk_mega_any(
+        dec_params, cfg, token, pos0, (k3, v3), n_steps, limit,
+        "mega_decode_step", interpret)
     return out, i, k3, v3
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
-                   donate_argnames=("k3", "v3", "ks", "vs"))
 def decode_chunk_mega_i8(dec_params, cfg, token, pos0, k3, v3, ks, vs,
                          n_steps: int, limit, interpret: bool = False):
     """decode_chunk through the int8-KV megakernel: flat int8 caches
-    [L, S, DKV] + per-(row, head) scales [L, NKV, S] (lane dim = S).
-    Same (successors, n_generated) contract as decode_chunk — this is
-    what lets `--kv-int8 --progress` keep the fastest decode config
-    instead of silently dropping to the XLA step (VERDICT r2 §weak-3)."""
-    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i8
-
-    out0 = jnp.zeros((n_steps,), jnp.int32)
-
-    def cond(state):
-        i, tok = state[0], state[1]
-        return (i < limit) & (tok != cfg.eos_token_id)
-
-    def body(state):
-        i, tok, k3, v3, ks, vs, out = state
-        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
-        nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
-            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
-            k3, v3, ks, vs, interpret=interpret)
-        return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
-
-    i, _, k3, v3, ks, vs, out = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), token, k3, v3, ks, vs, out0))
+    [L, S, DKV] + per-(row, head) scales [L, NKV, S] (lane dim = S) —
+    this is what lets `--kv-int8 --progress` keep the fastest decode
+    config instead of silently dropping to the XLA step (VERDICT r2
+    §weak-3)."""
+    out, i, (k3, v3, ks, vs) = _decode_chunk_mega_any(
+        dec_params, cfg, token, pos0, (k3, v3, ks, vs), n_steps, limit,
+        "mega_decode_step_i8", interpret)
     return out, i, k3, v3, ks, vs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"),
-                   donate_argnames=("k3", "v3", "ks", "vs"))
 def decode_chunk_mega_i4(dec_params, cfg, token, pos0, k3, v3, ks, vs,
                          n_steps: int, limit, interpret: bool = False):
     """decode_chunk through the int4-KV megakernel: nibble-packed caches
-    [L, S/2, DKV] + per-(row, head) scales [L, NKV, S]. Same contract as
-    decode_chunk_mega_i8."""
-    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i4
-
-    out0 = jnp.zeros((n_steps,), jnp.int32)
-
-    def cond(state):
-        i, tok = state[0], state[1]
-        return (i < limit) & (tok != cfg.eos_token_id)
-
-    def body(state):
-        i, tok, k3, v3, ks, vs, out = state
-        x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
-        nxt, k3, v3, ks, vs, _ = mega_decode_step_i4(
-            dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
-            k3, v3, ks, vs, interpret=interpret)
-        return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
-
-    i, _, k3, v3, ks, vs, out = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), token, k3, v3, ks, vs, out0))
+    [L, S/2, DKV] + per-(row, head) scales [L, NKV, S]."""
+    out, i, (k3, v3, ks, vs) = _decode_chunk_mega_any(
+        dec_params, cfg, token, pos0, (k3, v3, ks, vs), n_steps, limit,
+        "mega_decode_step_i4", interpret)
     return out, i, k3, v3, ks, vs
 
 

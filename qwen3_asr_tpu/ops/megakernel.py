@@ -56,10 +56,22 @@ INT4_GROUP = 512  # int4 mode: rows per (group, out-column) scale — the
                   # a perf/quality experiment knob, not the default.
 
 
-def _int4_group() -> int:
-    import os
+_INT4_GROUP_CACHE: int | None = None
 
-    return int(os.environ.get("QWEN3_INT4_GROUP", str(INT4_GROUP)))
+
+def _int4_group() -> int:
+    # Read the env knob ONCE per process: pack time (pack_megakernel_params)
+    # and kernel trace time both call this, and the group baked into the
+    # packed scale blocks MUST match the one the kernel indexes with —
+    # changing QWEN3_INT4_GROUP between load and first decode would
+    # otherwise silently mis-scale every weight chunk.
+    global _INT4_GROUP_CACHE
+    if _INT4_GROUP_CACHE is None:
+        import os
+
+        _INT4_GROUP_CACHE = int(
+            os.environ.get("QWEN3_INT4_GROUP", str(INT4_GROUP)))
+    return _INT4_GROUP_CACHE
 _NEG = -0.7 * float(np.finfo(np.float32).max)
 
 

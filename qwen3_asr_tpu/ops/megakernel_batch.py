@@ -206,6 +206,7 @@ def _mega_batch_kernel(
                 ci = entry[3]
                 if w4:
                     gsz = _int4_group_for(n_in)
+                    assert ci % gsz == 0, (mat, ci, gsz)
                     w8 = pltpu.bitcast(
                         wbufs[slot, :ci // 2, :co], jnp.int4
                     ).astype(jnp.int8)

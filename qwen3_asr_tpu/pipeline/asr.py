@@ -350,6 +350,12 @@ class Qwen3ASR:
                         "megakernel (quantize='int8pc'/'auto'/'int4') on "
                         "a Pallas TPU backend")
                     return result
+                if self._cache_dtype() is not jnp.int8:
+                    # the verify pass's KV layout is int8; an explicit
+                    # bf16/int4 cache setting cannot be honored here
+                    print("Note: spec_k uses an int8 KV cache; the "
+                          "configured kv_cache setting is ignored.",
+                          file=sys.stderr, flush=True)
                 from qwen3_asr_tpu.models.generate import (
                     generate_greedy_spec,
                 )
@@ -362,13 +368,14 @@ class Qwen3ASR:
                 )
                 out, n_kept, stats = jax.device_get((out, n_kept, stats))
                 result.tokens = [int(t) for t in out[: int(n_kept)]]
-                drafted = max(int(stats["drafted"]), 1)
-                print(
-                    f"spec: rounds={int(stats['rounds'])} "
-                    f"accepted={int(stats['accepted'])}/{drafted} "
-                    f"({int(stats['accepted']) / drafted:.0%})",
-                    file=sys.stderr, flush=True,
-                )
+                if params.print_timing:  # diagnostic, honors --no-timing
+                    drafted = max(int(stats["drafted"]), 1)
+                    print(
+                        f"spec: rounds={int(stats['rounds'])} "
+                        f"accepted={int(stats['accepted'])}/{drafted} "
+                        f"({int(stats['accepted']) / drafted:.0%})",
+                        file=sys.stderr, flush=True,
+                    )
             elif self._progress_cb or params.print_progress:
                 # streaming path: one dispatch per token, per-token progress
                 # (the reference's callback contract, qwen3_asr.cpp:264,289)

@@ -135,6 +135,10 @@ def main(argv=None) -> int:
     p.add_argument("--kv-int8", action="store_true",
                    help="use the int8 KV cache for the quantized "
                         "transcription leg (the shipping fast config)")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="use the int4 (nibble-packed) KV cache for the "
+                        "quantized transcription leg — the WER gate for "
+                        "the --kv-int4 decode config (overrides --kv-int8)")
     args = p.parse_args(argv)
 
     args.workdir.mkdir(parents=True, exist_ok=True)
@@ -201,7 +205,9 @@ def main(argv=None) -> int:
                  "-f", str(args.audio), "--no-timing",
                  "--max-tokens", str(args.max_tokens),
                  "--quantize", args.quantize, "-o", str(hyp_q)]
-        if args.kv_int8:
+        if args.kv_int4:
+            cli_q += ["--kv-int4"]
+        elif args.kv_int8:
             cli_q += ["--kv-int8"]
         if args.platform:
             cli_q += ["--platform", args.platform]
