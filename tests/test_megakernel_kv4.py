@@ -193,3 +193,17 @@ def test_streaming_int4_kv_stream(setup):
             interpret=True)
         replay.append(int(tok))
     assert replay == out
+
+
+def test_int4_group_pinned_per_process(monkeypatch):
+    """QWEN3_INT4_GROUP is read ONCE per process: the group baked into a
+    pack at load time must match the one the kernel indexes with at trace
+    time, so changing the env var mid-process must NOT change the
+    resolved group (it would silently mis-scale every weight chunk)."""
+    import os
+
+    from qwen3_asr_tpu.ops.megakernel import _int4_group
+
+    before = _int4_group()
+    monkeypatch.setenv("QWEN3_INT4_GROUP", str(before * 2))
+    assert _int4_group() == before

@@ -94,3 +94,19 @@ def test_mel_int16_input_matches_float(rng):
     out_i16 = log_mel_spectrogram(pcm)
     out_f32 = log_mel_spectrogram(as_float)
     np.testing.assert_allclose(out_i16, out_f32, atol=1e-6, rtol=0)
+
+
+def test_mel_device_filterbank_either_orientation(rng):
+    """filters_t_device accepts a device-resident filterbank in either
+    orientation: [n_mels, 201] (the public host contract) or the
+    pre-transposed [201, n_mels], disambiguated by shape."""
+    import jax.numpy as jnp
+
+    audio = make_audio(rng, 0.5)
+    filters = generate_mel_filters()
+    base = log_mel_spectrogram(audio, filters)
+    untransposed = log_mel_spectrogram(audio, jnp.asarray(filters))
+    pretransposed = log_mel_spectrogram(
+        audio, jnp.asarray(np.ascontiguousarray(filters.T)))
+    np.testing.assert_allclose(untransposed, base, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(pretransposed, base, atol=1e-6, rtol=0)

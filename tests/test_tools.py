@@ -107,7 +107,7 @@ def test_validate_real_weights_recipe(tmp_path, rng):
          "--hf-dir", str(hf_dir), "--goldens", str(goldens),
          "--audio", str(wav), "--workdir", str(tmp_path / "work"),
          "--type", "f32", "--platform", "cpu", "--max-tokens", "3",
-         "--quantize", "int4", "--kv-int8"],
+         "--quantize", "int4", "--kv-int4"],
         cwd="/root/repo", capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
     verdict = json.loads(out.stdout.strip().splitlines()[-1])
