@@ -240,7 +240,7 @@ def main():
     # extra run costs ~0.3-0.5 s against a multi-minute compile phase.
     runs = [pipeline(n_decode_tokens) for _ in range(4)]
     best = min(runs, key=lambda r: r["total_ms"])
-    fused_runs = [fused(n_decode_tokens) for _ in range(8)]
+    fused_runs = [fused(n_decode_tokens) for _ in range(12)]
     best_fused = min(fused_runs, key=lambda r: r["total_ms"])
 
     # Device-side stage accounting (VERDICT r2 next-2): one staged run under
