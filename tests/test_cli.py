@@ -69,6 +69,23 @@ def test_transcribe_mode(tmp_path, capsys):
     assert out.endswith("\n")
 
 
+def test_transcribe_quantize_int4_plumbing(tmp_path, capsys):
+    """--quantize int4 through the CLI: XLA paths resolve it to int8pc,
+    the megakernel pack carries the nibble stream (CPU: pack happens,
+    decode rides the XLA int8pc path) — the mode must load and
+    transcribe, not crash in the quantize resolution."""
+    asr_path, _ = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    rc = main(["-m", asr_path, "-f", wav, "--max-tokens", "4",
+               "--dtype", "float32", "--no-timing", "--tokens",
+               "--quantize", "int4", "--kv-int8"])
+    assert rc == 0
+    assert capsys.readouterr().out.endswith("\n")
+
+
 def test_align_mode_json_output(tmp_path, capsys):
     _, fa_path = make_models(tmp_path)
     wav = str(tmp_path / "a.wav")
