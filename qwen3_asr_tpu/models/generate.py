@@ -78,6 +78,14 @@ def generate_greedy(
                 and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
                 and has_pallas_tpu())
     if use_mega:
+        # long-context guard: the kernel holds whole [S, DKV] K/V slabs in
+        # VMEM; past the budget fall back to the XLA step (correct, slower)
+        from qwen3_asr_tpu.ops.megakernel import mega_max_context
+
+        use_mega = S <= mega_max_context(
+            dec_params["mega"], cfg, kv_i8=cache_dtype == jnp.int8,
+            kv_i4=kv_i4)
+    if use_mega:
         # whole-step megakernel (ops/megakernel.py): every decode step is
         # ONE pallas launch (all layers + lm head + argmax), weights
         # streamed at ~90% of HBM bandwidth. cache_dtype=int8 halves the
@@ -323,6 +331,16 @@ def generate_greedy_streaming(
     # int8-KV megakernel scale arrays put S on the 128-tiled lane dim
     align = 128 if use_mega else 8
     S = -(-(P + max_tokens) // align) * align
+    if use_mega:
+        # long-context guard (see generate_greedy): past the kernel's VMEM
+        # budget the chunked XLA step takes over
+        from qwen3_asr_tpu.ops.megakernel import mega_max_context
+
+        use_mega = S <= mega_max_context(
+            dec_params["mega"], cfg, kv_i8=cache_dtype == jnp.int8,
+            kv_i4=kv_i4)
+        if not use_mega:
+            S = -(-(P + max_tokens) // 8) * 8
     # int4 KV is megakernel-only: prefill writes the int8 layout (packed
     # below); without the megakernel it just runs as int8
     token, cache = prefill_only(
@@ -516,12 +534,19 @@ def generate_greedy_spec(
     {rounds, drafted, accepted} for acceptance-rate accounting.
     """
     from qwen3_asr_tpu.models.decoder import lm_logits_block
-    from qwen3_asr_tpu.ops.megakernel import mega_decode_step_i8
+    from qwen3_asr_tpu.ops.megakernel import (
+        mega_decode_step_i8,
+        mega_max_context,
+    )
 
     P = tokens.shape[0]
     # room for one full draft block past the budget (the verify block at
     # the last round may touch rows up to n_prompt + max_tokens + k - 2)
     S = -(-(P + max_tokens + k) // 128) * 128
+    if S > mega_max_context(dec_params["mega"], cfg, kv_i8=True):
+        raise ValueError(
+            f"spec_k: context {S} rows exceeds the megakernel's VMEM "
+            "budget (long audio); use the plain decode path")
     L = cfg.n_layers
     NKV, HD = cfg.n_kv_heads, cfg.head_dim
     DKV = NKV * HD

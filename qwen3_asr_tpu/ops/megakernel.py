@@ -702,6 +702,51 @@ def _mega_kernel(
 # host wrapper
 # ---------------------------------------------------------------------------
 
+# VMEM the kernel may plan against (v5e has ~16 MiB per core; leave ~2 MiB
+# for Mosaic's own temporaries/registers spill)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def mega_max_context(mega: dict, cfg: DecoderConfig,
+                     kv_i8: bool, kv_i4: bool = False) -> int:
+    """Largest KV length S the single-sequence megakernel fits in VMEM.
+
+    The kernel keeps the WHOLE per-layer K/V slab resident ([S, DKV] each,
+    int8 or bf16, halved again when nibble-packed) plus the weight/scale
+    rings — so its VMEM footprint grows linearly in S and overflows for
+    long audio (~6k rows at 0.6B hparams with int8 KV ≈ 368 s + 1.3k
+    generated tokens). Callers gate `use_mega` on this and fall back to
+    the XLA decode step (correct, slower) past it. Mirrors _mega_call's
+    scratch arithmetic; rounded DOWN to the 128-row alignment the int8-KV
+    scale DMA needs."""
+    H = cfg.hidden_size
+    NKV = cfg.n_kv_heads
+    DKV = NKV * cfg.head_dim
+    L = cfg.n_layers
+    w4 = mega["qkv_q"].shape[2] == H // 2
+    co_h = mega["head_q"].shape[2]
+    co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
+                         for m in ("qkv", "wo", "gu", "wd")))
+    ci_max = max(H, *(min(CHUNK_IN,
+                          mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
+                      for m in ("qkv", "wo", "gu", "wd")))
+    buf_rows = ci_max // 2 if w4 else ci_max
+    kv_bytes = 1 if (kv_i8 or kv_i4) else 2
+    fixed = (
+        NBUF * buf_rows * co_max          # weight ring (int8)
+        + NBUF * 8 * co_max * 4           # scale ring
+        + L * 8 * H * 4 + H * 4           # norms + out_norm
+        + 2 * L * 8 * DKV * kv_bytes      # fresh K/V outputs
+        + 2 * L * 8 * NKV * 4             # fresh scales
+        + H * 4 + H * 2                   # h_dbg + x
+    )
+    per_row = 2 * DKV * kv_bytes // (2 if kv_i4 else 1)  # kbuf + vbuf
+    if kv_i8 or kv_i4:
+        per_row += 2 * NKV * 4            # ks/vs bufs, lane dim = S
+    s_max = (_VMEM_BUDGET - fixed) // per_row
+    return max(0, int(s_max) // 128 * 128)
+
+
 def _mega_call(
     mega: dict,
     cfg: DecoderConfig,

@@ -43,6 +43,38 @@ from qwen3_asr_tpu.ops.megakernel import (
 NSLAB = 2  # KV slab ring depth (per stream): seq b+1 streams while b attends
 
 
+def mega_batch_max_context(mega: dict, cfg) -> int:
+    """Largest per-sequence KV length S the batched megakernel fits in
+    VMEM: it keeps NSLAB whole [S, DKV] K/V slabs (+ [NKV, S] scale slabs)
+    resident, so the footprint is linear in S. Callers gate on this and
+    fall back to the vmapped XLA step for longer contexts. Mirrors
+    mega_decode_step_batch's scratch arithmetic; floored to the 128-row
+    lane alignment."""
+    from qwen3_asr_tpu.ops.megakernel import _VMEM_BUDGET, CHUNK_IN, NBUF
+
+    H = cfg.hidden_size
+    NKV = cfg.n_kv_heads
+    DKV = NKV * cfg.head_dim
+    L = cfg.n_layers
+    w4 = mega["qkv_q"].shape[2] == H // 2
+    co_h = mega["head_q"].shape[2]
+    co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
+                         for m in ("qkv", "wo", "gu", "wd")))
+    ci_max = max(H, *(min(CHUNK_IN,
+                          mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
+                      for m in ("qkv", "wo", "gu", "wd")))
+    buf_rows = ci_max // 2 if w4 else ci_max
+    fixed = (
+        NBUF * buf_rows * co_max
+        + NBUF * 8 * co_max * 4
+        + L * 8 * H * 4 + H * 4
+        + 2 * L * 8 * DKV + 2 * L * 8 * NKV * 4
+    )
+    per_row = NSLAB * 2 * DKV + NSLAB * 2 * NKV * 4  # int8 k+v + f32 scales
+    s_max = (_VMEM_BUDGET - fixed) // per_row
+    return max(0, int(s_max) // 128 * 128)
+
+
 def _mega_batch_kernel(
     # inputs
     pos_ref,            # SMEM [B] int32: per-seq cache row / RoPE position

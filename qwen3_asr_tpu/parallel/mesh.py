@@ -222,6 +222,15 @@ def batched_transcribe_step(
     use_mega_batch = ("mega" in dec_params and tp == 1
                       and cache_dtype == jnp.int8)
     if use_mega_batch:
+        # long-context guard: the batched kernel keeps NSLAB whole per-seq
+        # KV slabs in VMEM — past its budget the vmapped XLA step takes
+        # over (correct, slower)
+        from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
+
+        S_need = -(-(tokens.shape[1] + max_tokens) // 128) * 128
+        use_mega_batch = S_need <= mega_batch_max_context(
+            dec_params["mega"], cfg)
+    if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
         if has_pallas_tpu() or _mega_interpret:

@@ -360,12 +360,16 @@ class Qwen3ASR:
                     generate_greedy_spec,
                 )
 
-                out, n_kept, stats = generate_greedy_spec(
-                    self.params["decoder"], dcfg,
-                    jnp.asarray(toks), jnp.int32(n_prompt),
-                    audio_padded, jnp.int32(n_audio), offset,
-                    params.max_tokens, k=params.spec_k,
-                )
+                try:
+                    out, n_kept, stats = generate_greedy_spec(
+                        self.params["decoder"], dcfg,
+                        jnp.asarray(toks), jnp.int32(n_prompt),
+                        audio_padded, jnp.int32(n_audio), offset,
+                        params.max_tokens, k=params.spec_k,
+                    )
+                except ValueError as e:  # e.g. megakernel VMEM budget
+                    result.error_msg = str(e)
+                    return result
                 out, n_kept, stats = jax.device_get((out, n_kept, stats))
                 result.tokens = [int(t) for t in out[: int(n_kept)]]
                 if params.print_timing:  # diagnostic, honors --no-timing

@@ -137,6 +137,73 @@ def test_streaming_mega_i8_matches_while_loop(rng):
         assert got == expected, chunk
 
 
+def test_mega_vmem_guard_falls_back_to_xla(rng, monkeypatch):
+    """Long-context guard: when S exceeds the megakernel's VMEM budget
+    (forced here by shrinking the budget), the streaming path must fall
+    back to the XLA decode step and still emit the exact greedy tokens
+    (this is what keeps 300+ s audio working instead of a Mosaic VMEM
+    compile failure)."""
+    import jax
+
+    from qwen3_asr_tpu.ops import megakernel as MK
+    from qwen3_asr_tpu.ops.megakernel import (
+        mega_max_context,
+        pack_megakernel_params,
+    )
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg = tiny_asr_config()
+    dcfg = cfg.decoder
+    dec = init_asr_params(cfg, seed=3, dtype=jnp.bfloat16)["decoder"]
+    dec = jax.tree.map(lambda x: np.asarray(x), dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    dec["mega"] = pack_megakernel_params(dec, dcfg)
+
+    # sanity on the budget arithmetic at tiny hparams
+    s8 = mega_max_context(dec["mega"], dcfg, kv_i8=True)
+    s4 = mega_max_context(dec["mega"], dcfg, kv_i8=True, kv_i4=True)
+    sb = mega_max_context(dec["mega"], dcfg, kv_i8=False)
+    assert s8 % 128 == 0 and s8 > 0
+    assert s4 >= s8 >= sb  # int4 cache fits the most rows, bf16 the fewest
+
+    n_audio = 4
+    audio = rng.standard_normal((n_audio, dcfg.hidden_size)).astype(np.float32)
+    prompt = [5, 6] + [dcfg.audio_pad_token_id] * n_audio + [7]
+    toks = np.zeros(16, np.int32)
+    toks[: len(prompt)] = prompt
+    max_tokens = 8
+
+    out, n_kept = generate_greedy(
+        dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+        jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+        cache_dtype=jnp.int8,
+    )
+    expected = list(np.asarray(out)[: int(n_kept)])
+
+    monkeypatch.setattr(MK, "_VMEM_BUDGET", 1)  # nothing fits -> XLA path
+    assert mega_max_context(dec["mega"], dcfg, kv_i8=True) == 0
+    got = generate_greedy_streaming(
+        dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+        jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens,
+        cache_dtype=jnp.int8, _force_mega_interpret=True,
+    )
+    assert got == expected
+
+    # spec refuses cleanly past the budget instead of a Mosaic crash
+    import pytest
+
+    from qwen3_asr_tpu.models.generate import generate_greedy_spec
+
+    with pytest.raises(ValueError, match="VMEM"):
+        generate_greedy_spec(
+            dec, dcfg, jnp.asarray(toks), jnp.int32(len(prompt)),
+            jnp.asarray(audio), jnp.int32(n_audio), 2, max_tokens, k=4,
+            interpret=True)
+
+
 def test_pipeline_fused_param(rng):
     """TranscribeParams(fused=True) == staged pipeline tokens/text."""
     cfg = tiny_asr_config()
