@@ -183,16 +183,7 @@ class ASRServer:
                 elif len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
                 else:
-                    # pad the batch to a power of two (repeat the last item)
-                    # so the vmapped decode compiles for log2(max_batch)
-                    # batch shapes instead of one per arrival count
-                    n = len(batch)
-                    target = 1 << (n - 1).bit_length()
-                    samples = [r.samples for r in batch]
-                    samples += [samples[-1]] * (target - n)
-                    results = self.asr.transcribe_batch(
-                        samples, self.params
-                    )[:n]
+                    results = self._run_transcribe(batch)
                 for req, res in zip(batch, results):
                     req.future.set_result(res)
             except Exception as e:  # noqa: BLE001 — propagate to all waiters
@@ -201,6 +192,61 @@ class ASRServer:
                         req.future.set_exception(e)
             self.n_served += len(batch)
             self.n_batches += 1
+
+    def _mega_eligible(self, n_samples: int) -> bool:
+        """Host-side estimate of whether an utterance of `n_samples` 16 kHz
+        samples can decode through the batched megakernel: its bucketed
+        prompt + max_tokens KV rows must fit the kernel's VMEM budget
+        (ops/megakernel_batch.py::mega_batch_max_context). Estimate only —
+        batched_transcribe_step re-checks with the true shapes — used to
+        GROUP requests so one long file doesn't drag a whole batch onto
+        the slower vmapped XLA fallback."""
+        import jax.numpy as jnp
+
+        dec = self.asr.params["decoder"]
+        if "mega" not in dec or self.asr._cache_dtype() == jnp.bfloat16:
+            return True  # single group: routing doesn't depend on length
+        from qwen3_asr_tpu.audio.mel import num_mel_frames
+        from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
+        from qwen3_asr_tpu.text.prompt import build_asr_prompt
+        from qwen3_asr_tpu.text.timestamps import (
+            get_feat_extract_output_lengths,
+        )
+
+        dcfg = self.asr.cfg.decoder
+        n_audio = get_feat_extract_output_lengths(num_mel_frames(n_samples))
+        n_prompt = len(build_asr_prompt(n_audio, dcfg))
+        bucket = self.params.prompt_bucket
+        P = -(-n_prompt // bucket) * bucket
+        S_need = -(-(P + self.params.max_tokens) // 128) * 128
+        return S_need <= mega_batch_max_context(dec["mega"], dcfg)
+
+    def _run_transcribe(self, batch: list[_Request]) -> list:
+        """Dispatch a multi-request transcription round: requests split
+        into megakernel-eligible and long-context groups (the batch pads
+        every prompt to the longest, so one long file would otherwise kick
+        the WHOLE batch onto the vmapped XLA decode — latency isolation
+        for the common short-file path); each group pads to a power of two
+        (repeat the last item) so the vmapped decode compiles for
+        log2(max_batch) batch shapes instead of one per arrival count."""
+        eligible = [self._mega_eligible(len(r.samples)) for r in batch]
+        groups = [[i for i, e in enumerate(eligible) if e],
+                  [i for i, e in enumerate(eligible) if not e]]
+        results: list = [None] * len(batch)
+        for idxs in groups:
+            if not idxs:
+                continue
+            if len(idxs) == 1:
+                results[idxs[0]] = self.asr.transcribe(
+                    batch[idxs[0]].samples, self.params)
+                continue
+            target = 1 << (len(idxs) - 1).bit_length()
+            samples = [batch[i].samples for i in idxs]
+            samples += [samples[-1]] * (target - len(idxs))
+            for i, res in zip(idxs,
+                              self.asr.transcribe_batch(samples, self.params)):
+                results[i] = res
+        return results
 
     def _run_align(self, batch: list[_Request]) -> list:
         """One align_batch dispatch per language group (usually one)."""

@@ -223,3 +223,45 @@ def test_dp_sharded_megakernel_matches_unsharded(setup):
         np.testing.assert_array_equal(
             np.asarray(out_m[b, :n]), np.asarray(out_u[b, :n]),
             err_msg=f"seq {b}")
+
+
+def test_batched_mega_vmem_guard_falls_back(setup, monkeypatch):
+    """Long-context guard (batched): when the per-seq KV slab no longer
+    fits the kernel's VMEM budget (forced here by shrinking it),
+    batched_transcribe_step must route to the vmapped XLA step — output
+    bit-identical to a run with no megakernel pack at all."""
+    from qwen3_asr_tpu.ops import megakernel as MK
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+    from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        init_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg = tiny_asr_config().decoder
+    dec = init_decoder_params(cfg, jax.random.PRNGKey(3), jnp.bfloat16)
+    dec = jax.tree.map(np.asarray, dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    dec["mega"] = pack_megakernel_params(dec, cfg)
+    assert mega_batch_max_context(dec["mega"], cfg) > 0
+
+    B, Pr, MAX = 2, 16, 4
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(1, 200, (B, Pr)), jnp.int32)
+    n_prompt = jnp.asarray([12, 16], jnp.int32)
+    audio = jnp.zeros((B, 4, cfg.hidden_size), jnp.bfloat16)
+    n_audio = jnp.zeros((B,), jnp.int32)
+
+    monkeypatch.setattr(MK, "_VMEM_BUDGET", 1)
+    assert mega_batch_max_context(dec["mega"], cfg) == 0
+    out_g, nk_g = batched_transcribe_step(
+        dec, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,
+        cache_dtype=jnp.int8, _mega_interpret=True)
+
+    dec_nomega = {k: v for k, v in dec.items() if k != "mega"}
+    out_x, nk_x = batched_transcribe_step(
+        dec_nomega, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,
+        cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(nk_g), np.asarray(nk_x))
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_x))

@@ -324,3 +324,60 @@ def test_http_transcribe_and_health(rng):
     finally:
         httpd.shutdown()
         server.close()
+
+
+def test_server_splits_long_context_batch(rng, monkeypatch):
+    """Latency isolation: the batcher groups megakernel-eligible requests
+    apart from long-context ones (batch padding is to the longest prompt,
+    so one long file would otherwise force the WHOLE batch onto the
+    vmapped XLA fallback). Forced here by shrinking the VMEM budget until
+    only ~1 s files fit the kernel."""
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize="int8pc", kv_int8=True)
+    asr.load_random(cfg, seed=7,
+                    vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    dec = asr.params["decoder"]
+    assert "mega" in dec
+
+    from qwen3_asr_tpu.ops import megakernel as MK
+    from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
+
+    def max_s(budget):
+        monkeypatch.setattr(MK, "_VMEM_BUDGET", budget)
+        return mega_batch_max_context(dec["mega"], cfg.decoder)
+
+    # smallest budget whose kernel fits exactly 128 KV rows: 1 s files
+    # (S_need=128) stay eligible, 8 s files (S_need=256) do not
+    lo, hi = 1, 1 << 26
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if max_s(mid) >= 128:
+            hi = mid
+        else:
+            lo = mid + 1
+    assert max_s(lo) == 128
+
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32)
+    audios = [_tone(220, 1.0), _tone(440, 1.0), _tone(880, 8.0),
+              _tone(330, 1.0)]
+    expected = [asr.transcribe(a, params).tokens for a in audios]
+
+    server = ASRServer(asr, params, max_batch=4, max_wait_ms=100.0)
+    calls = []
+    orig_batch, orig_single = asr.transcribe_batch, asr.transcribe
+    asr.transcribe_batch = lambda s, p, **kw: (
+        calls.append(("batch", len(s))) or orig_batch(s, p, **kw))
+    asr.transcribe = lambda s, p=None, **kw: (
+        calls.append(("single", 1)) or orig_single(s, p, **kw))
+    try:
+        futures = [server.submit(a) for a in audios]
+        got = [f.result(timeout=300) for f in futures]
+        assert [g.tokens for g in got] == expected
+        assert all(g.success for g in got)
+        # one pow2-padded batch for the three short files + one solo run
+        # for the 8 s file (order within the round is eligible-first)
+        assert ("batch", 4) in calls and ("single", 1) in calls
+    finally:
+        asr.transcribe_batch, asr.transcribe = orig_batch, orig_single
+        server.close()
