@@ -98,6 +98,12 @@ def main():
     import dataclasses
 
     import jax
+
+    from qwen3_asr_tpu.ops.support import wait_for_backend
+
+    # the tunnel's first contact can be UNAVAILABLE for minutes;
+    # don't die without an artifact
+    wait_for_backend()
     import jax.numpy as jnp
 
     from qwen3_asr_tpu.audio import generate_mel_filters, log_mel_spectrogram

@@ -20,6 +20,12 @@ import numpy as np
 
 def main():
     import jax
+
+    from qwen3_asr_tpu.ops.support import wait_for_backend
+
+    # the tunnel's first contact can be UNAVAILABLE for minutes;
+    # don't die without an artifact
+    wait_for_backend()
     import jax.numpy as jnp
 
     from qwen3_asr_tpu.config import AlignerModelConfig, ASRModelConfig

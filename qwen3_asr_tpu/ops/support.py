@@ -50,3 +50,28 @@ def has_pallas_tpu() -> bool:
         file=sys.stderr, flush=True,
     )
     return False
+
+
+def wait_for_backend(retries: int = 3, sleep_s: float = 60.0):
+    """Block until jax.devices() succeeds, retrying backend init.
+
+    The network-attached TPU's first contact can return UNAVAILABLE for
+    many minutes during tunnel churn; benches and one-shot jobs want to
+    ride it out instead of dying with no artifact. Each failed attempt may
+    itself take minutes (the plugin's own connect timeout). Returns the
+    first device; raises the last error after `retries` failures."""
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            dev = jax.devices()[0]
+            if attempt:
+                print(f"qwen3_asr_tpu: backend up after {attempt} retries",
+                      file=sys.stderr, flush=True)
+            return dev
+        except Exception as e:  # noqa: BLE001 — init error shapes vary
+            last = e
+            print(f"qwen3_asr_tpu: backend init attempt {attempt} failed "
+                  f"({e}); retrying in {sleep_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+    raise last

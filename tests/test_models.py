@@ -263,3 +263,10 @@ def test_nar_and_classify_head(tiny_fa, rng):
     )
     ref_logits = torch_ref.classify_logits(to_numpy_tree(dec), dcfg, ref_h)
     np.testing.assert_allclose(logits, ref_logits, atol=3e-3, rtol=0)  # f32 noise; ref tol is 1e-2
+
+
+def test_wait_for_backend_returns_device():
+    from qwen3_asr_tpu.ops.support import wait_for_backend
+
+    dev = wait_for_backend(retries=2, sleep_s=0.01)
+    assert dev is jax.devices()[0]
