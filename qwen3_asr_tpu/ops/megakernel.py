@@ -31,6 +31,7 @@ graph rebuild); this file is its TPU-native opposite.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,17 +121,68 @@ def _int4_group_for(n_in: int) -> int:
     return g
 
 
-def _quant_int4_groups(w: np.ndarray, G: int | None = None):
+# clip ratios tried by the int4 MSE search (1.0 = plain absmax is always
+# the baseline candidate)
+_INT4_CLIP_CANDIDATES = (0.95, 0.9, 0.85, 0.8)
+
+
+def _quant_int4_groups(w: np.ndarray, G: int | None = None,
+                       search_clip: bool | None = None):
     """f32 [in, out] -> (int4 values in int8 [in, out] in [-7, 7],
-    scales f32 [in/G, out]) — symmetric per-(G-row group, out column)."""
+    scales f32 [in/G, out]) — symmetric per-(G-row group, out column).
+
+    search_clip (default on; QWEN3_INT4_CLIP_SEARCH=0 disables): per
+    (group, column), try a few clip ratios below absmax and keep the
+    MSE-minimizing scale — clipping a rare outlier is usually cheaper than
+    stretching the whole group's step size to cover it (standard 4-bit
+    practice). Pack-time only: same packed layout, same kernel, strictly
+    lower (or equal) quantization MSE than plain absmax rounding."""
     n_in, n_out = w.shape
     if G is None:
         G = _int4_group_for(n_in)
     assert n_in % G == 0, (n_in, G)
+    if search_clip is None:
+        search_clip = os.environ.get("QWEN3_INT4_CLIP_SEARCH", "1") == "1"
+    if search_clip:
+        try:  # torch's fused clamp/round kernels are ~3x numpy here; the
+            # search is a load-time one-off (~45 s at 0.6B with numpy)
+            import torch
+
+            wg = torch.from_numpy(np.ascontiguousarray(w)).reshape(
+                n_in // G, G, n_out)
+            amax = wg.abs().amax(dim=1)
+            best_s = (amax / 7.0).clamp_min(1e-12)
+            best_q = torch.clamp(torch.round(wg / best_s[:, None, :]), -7, 7)
+            best_err = ((best_q * best_s[:, None, :] - wg) ** 2).sum(dim=1)
+            for c in _INT4_CLIP_CANDIDATES:
+                s = (amax * (c / 7.0)).clamp_min(1e-12)
+                q = torch.clamp(torch.round(wg / s[:, None, :]), -7, 7)
+                err = ((q * s[:, None, :] - wg) ** 2).sum(dim=1)
+                m = err < best_err
+                best_err = torch.where(m, err, best_err)
+                best_s = torch.where(m, s, best_s)
+                best_q = torch.where(m[:, None, :], q, best_q)
+            return (best_q.to(torch.int8).reshape(n_in, n_out).numpy(),
+                    best_s.numpy().astype(np.float32))
+        except ImportError:
+            pass
     wg = w.reshape(n_in // G, G, n_out)
-    s = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-12)   # [n_g, out]
-    q = np.clip(np.rint(wg / s[:, None, :]), -7, 7).astype(np.int8)
-    return q.reshape(n_in, n_out), s.astype(np.float32)
+    amax = np.abs(wg).max(axis=1)                          # [n_g, out]
+    best_s = np.maximum(amax / 7.0, 1e-12)
+    best_q = np.clip(np.rint(wg / best_s[:, None, :]), -7, 7)
+    if search_clip:
+        best_err = ((best_q * best_s[:, None, :] - wg) ** 2).sum(axis=1)
+        for c in _INT4_CLIP_CANDIDATES:
+            s = np.maximum(amax * (c / 7.0), 1e-12)
+            q = np.clip(np.rint(wg / s[:, None, :]), -7, 7)
+            err = ((q * s[:, None, :] - wg) ** 2).sum(axis=1)
+            m = err < best_err                             # [n_g, out]
+            if m.any():
+                best_err = np.where(m, err, best_err)
+                best_s = np.where(m, s, best_s)
+                best_q = np.where(m[:, None, :], q, best_q)
+    return (best_q.astype(np.int8).reshape(n_in, n_out),
+            best_s.astype(np.float32))
 
 
 def _pack_nibbles(q: np.ndarray) -> np.ndarray:

@@ -274,11 +274,16 @@ def test_int4_pack_roundtrip(setup):
     rec[0::2] = lo
     rec[1::2] = hi
     np.testing.assert_array_equal(rec, q)
-    # dequant error bound: per group, |w - q*s| <= s/2 (round) and q in
-    # [-7, 7]
-    G = w.shape[0] // s.shape[0]
+    # plain absmax path: per group |w - q*s| <= s/2 (round), q in [-7, 7]
+    q0, s0 = _quant_int4_groups(w, search_clip=False)
+    G = w.shape[0] // s0.shape[0]
+    deq0 = q0.astype(np.float32) * np.repeat(s0, G, axis=0)
+    assert np.abs(deq0 - w).max() <= (s0.max() / 2) + 1e-6
+    # default path (MSE clip search): never worse than absmax rounding
     deq = q.astype(np.float32) * np.repeat(s, G, axis=0)
-    assert np.abs(deq - w).max() <= (s.max() / 2) + 1e-6
+    mse = float(((deq - w) ** 2).mean())
+    mse0 = float(((deq0 - w) ** 2).mean())
+    assert mse <= mse0 + 1e-12, (mse, mse0)
 
 
 def test_megakernel_int4_drift_vs_own_oracle(setup):
