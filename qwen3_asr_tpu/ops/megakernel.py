@@ -122,8 +122,11 @@ def _int4_group_for(n_in: int) -> int:
 
 
 # clip ratios tried by the int4 MSE search (1.0 = plain absmax is always
-# the baseline candidate)
-_INT4_CLIP_CANDIDATES = (0.95, 0.9, 0.85, 0.8)
+# the baseline candidate). Two candidates capture ~99% of the five-
+# candidate win (27.9/26.1% vs 28.1/26.1% MSE reduction on gaussian/
+# heavy-tailed weights) at 2/5 of the pack-time cost — with the torch
+# path the searched pack costs about the same as the old numpy absmax one
+_INT4_CLIP_CANDIDATES = (0.9, 0.8)
 
 
 def _quant_int4_groups(w: np.ndarray, G: int | None = None,
