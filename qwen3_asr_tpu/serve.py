@@ -17,6 +17,12 @@ Design:
     POST /v1/transcribe  (body: 16 kHz mono WAV bytes) -> {"text": ...}
     POST /v1/align       (multipart fields audio+text[+language], or JSON
                           {"audio_b64", "text", "language"}) -> {"words": ...}
+    POST /v1/audio/transcriptions
+                         OpenAI-compatible route (multipart `file`,
+                         `response_format` json|text|verbose_json,
+                         `timestamp_granularities[]=word` via the loaded
+                         aligner) — drop-in for openai-python's
+                         `client.audio.transcriptions.create(...)`
     GET  /healthz        -> {"status": "ok", ...}
   Handler threads only parse bytes and wait on futures; all device work
   stays on the worker thread. Align text rides the request BODY (UTF-8):
@@ -49,6 +55,7 @@ import numpy as np
 from qwen3_asr_tpu.audio import load_wav_bytes
 from qwen3_asr_tpu.config import SAMPLE_RATE
 from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+from qwen3_asr_tpu.text.prompt import detect_language, extract_transcript
 
 
 @dataclass
@@ -270,8 +277,10 @@ class ASRServer:
 # HTTP front-end (stdlib only)
 # ---------------------------------------------------------------------------
 
-def _parse_multipart(data: bytes, content_type: str) -> dict[str, bytes]:
-    """Minimal multipart/form-data parser: {field name: raw bytes}."""
+def _parse_multipart(data: bytes, content_type: str) -> dict[str, list[bytes]]:
+    """Minimal multipart/form-data parser: {field name: [raw bytes, ...]}.
+    Repeated fields accumulate in arrival order (the OpenAI-compatible
+    route's `timestamp_granularities[]` arrives once per granularity)."""
     boundary = ""
     for token in content_type.split(";"):
         token = token.strip()
@@ -280,7 +289,7 @@ def _parse_multipart(data: bytes, content_type: str) -> dict[str, bytes]:
     if not boundary:
         raise ValueError("multipart body without boundary")
     delim = b"--" + boundary.encode()
-    fields: dict[str, bytes] = {}
+    fields: dict[str, list[bytes]] = {}
     for part in data.split(delim):
         part = part.strip(b"\r\n")
         if not part or part == b"--":
@@ -295,7 +304,7 @@ def _parse_multipart(data: bytes, content_type: str) -> dict[str, bytes]:
                 raw = line.split(b"name=", 1)[1].split(b";")[0].strip(b'" ')
                 name = raw.decode("utf-8", "replace")
         if name:
-            fields[name] = body
+            fields.setdefault(name, []).append(body)
     return fields
 
 
@@ -314,8 +323,8 @@ def _parse_align_request(headers, body: bytes):
         fields = _parse_multipart(body, ctype)
         if "audio" not in fields or "text" not in fields:
             raise ValueError("multipart fields 'audio' and 'text' required")
-        return (fields["audio"], fields["text"].decode("utf-8"),
-                fields.get("language", b"").decode("utf-8"))
+        return (fields["audio"][-1], fields["text"][-1].decode("utf-8"),
+                fields.get("language", [b""])[-1].decode("utf-8"))
     if ctype.startswith("application/json"):
         req = json.loads(body.decode("utf-8"))
         if "audio_b64" not in req or "text" not in req:
@@ -354,14 +363,108 @@ def _make_handler(server: ASRServer):
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _reply_text(self, code: int, text: str):
+            body = text.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _openai_error(self, code: int, message: str,
+                          err_type: str = "invalid_request_error"):
+            # OpenAI API error envelope, so standard clients surface the
+            # message instead of a parse failure
+            self._reply(code, {"error": {"message": message,
+                                         "type": err_type,
+                                         "param": None, "code": None}})
+
+        def _openai_transcription(self, data: bytes):
+            """OpenAI-compatible `POST /v1/audio/transcriptions`
+            (multipart: `file` required; `language`, `response_format`
+            json|text|verbose_json, `timestamp_granularities[]=word`
+            honored; `model`/`prompt`/`temperature` accepted and ignored —
+            the loaded model is the model, decoding is greedy). Word
+            timestamps run the forced aligner on the transcript, so
+            `--aligner-model` must be loaded and `response_format` must be
+            `verbose_json` (matching the OpenAI contract)."""
+            ctype = self.headers.get("Content-Type", "")
+            if not ctype.startswith("multipart/form-data"):
+                self._openai_error(
+                    400, "multipart/form-data with a 'file' field required")
+                return
+            fields = _parse_multipart(data, ctype)
+            if "file" not in fields:
+                self._openai_error(400, "missing required field 'file'")
+                return
+            fmt = fields.get("response_format", [b"json"])[-1].decode().strip()
+            if fmt not in ("json", "text", "verbose_json"):
+                self._openai_error(
+                    400, f"response_format '{fmt}' not supported "
+                         "(json, text, verbose_json)")
+                return
+            grans = [g.decode().strip()
+                     for g in fields.get("timestamp_granularities[]", [])]
+            want_words = "word" in grans
+            if want_words and fmt != "verbose_json":
+                self._openai_error(
+                    400, "timestamp_granularities requires "
+                         "response_format=verbose_json")
+                return
+            if want_words and server.aligner is None:
+                self._openai_error(
+                    400, "word timestamps need an aligner model "
+                         "(start the server with --aligner-model)")
+                return
+            samples, sr = load_wav_bytes(fields["file"][-1], raw_int16=True)
+            if sr != SAMPLE_RATE:
+                self._openai_error(400, f"Audio must be 16kHz, got {sr} Hz")
+                return
+            result = server.submit(samples).result()
+            if not result.success:
+                self._openai_error(500, result.error_msg, "server_error")
+                return
+            transcript = extract_transcript(result.text)
+            language = (detect_language(result.text)
+                        or fields.get("language", [b""])[-1].decode().strip())
+            if fmt == "text":
+                self._reply_text(200, transcript + "\n")
+                return
+            if fmt == "json":
+                self._reply(200, {"text": transcript})
+                return
+            payload = {
+                "task": "transcribe",
+                "language": language,
+                "duration": round(len(samples) / SAMPLE_RATE, 3),
+                "text": transcript,
+            }
+            if want_words:
+                words = []
+                if transcript.strip():
+                    align = server.submit_align(
+                        samples, transcript, language).result()
+                    if not align.success:
+                        self._openai_error(500, align.error_msg,
+                                           "server_error")
+                        return
+                    words = [{"word": w.word, "start": w.start,
+                              "end": w.end} for w in align.words]
+                payload["words"] = words
+            self._reply(200, payload)
+
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/v1/transcribe", "/v1/align"):
+            if self.path not in ("/v1/transcribe", "/v1/align",
+                                 "/v1/audio/transcriptions"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 data = self.rfile.read(length)
                 t0 = time.perf_counter()
+                if self.path == "/v1/audio/transcriptions":
+                    self._openai_transcription(data)
+                    return
                 if self.path == "/v1/align":
                     if server.aligner is None:
                         self._reply(400, {"error": "no aligner model loaded"})
@@ -397,7 +500,10 @@ def _make_handler(server: ASRServer):
                     "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
                 })
             except Exception as e:  # noqa: BLE001
-                self._reply(400, {"error": str(e)})
+                if self.path == "/v1/audio/transcriptions":
+                    self._openai_error(400, str(e))
+                else:
+                    self._reply(400, {"error": str(e)})
 
         def log_message(self, fmt, *args):  # stderr, stdout stays data-only
             print("serve: " + fmt % args, file=sys.stderr, flush=True)
@@ -439,12 +545,20 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", default="",
                    help="comma-separated audio lengths (s) to precompile, "
                         "e.g. 5,15,30")
+    p.add_argument("--platform", default="",
+                   help="Force a JAX platform (e.g. 'cpu', 'tpu'); "
+                        "default: auto")
     p.add_argument("--aligner-model", default="",
                    help="forced-aligner GGUF: enables POST /v1/align "
                         "(multipart audio+text, JSON audio_b64+text, or "
-                        "legacy WAV body + X-Align-Text header)")
+                        "legacy WAV body + X-Align-Text header) and word "
+                        "timestamps on /v1/audio/transcriptions")
     args = p.parse_args(argv)
 
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     asr = Qwen3ASR(dtype=jnp.bfloat16,

@@ -381,3 +381,123 @@ def test_server_splits_long_context_batch(rng, monkeypatch):
     finally:
         asr.transcribe_batch, asr.transcribe = orig_batch, orig_single
         server.close()
+
+
+def _multipart(fields):
+    """Encode [(name, bytes)] as a multipart/form-data body; the `file`
+    field carries a filename like real OpenAI clients do."""
+    boundary = "qwen3openai456"
+    parts = []
+    for name, value in fields:
+        disp = f'form-data; name="{name}"'
+        if name == "file":
+            disp += '; filename="audio.wav"'
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n".encode()
+            + value + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_openai_transcriptions_endpoint(rng):
+    """`POST /v1/audio/transcriptions` speaks the OpenAI transcription API:
+    multipart `file`, response_format json/text/verbose_json, word
+    timestamps via the loaded aligner, OpenAI error envelope."""
+    asr = _tiny_asr()
+    fa = _tiny_aligner()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0, aligner=fa)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    url = f"http://127.0.0.1:{port}/v1/audio/transcriptions"
+    wav = _wav_bytes(_tone(440))
+
+    def post(fields, expect_error=None):
+        body, ctype = _multipart(fields)
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": ctype}, method="POST")
+        if expect_error is None:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, r.headers.get("Content-Type", ""), r.read()
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError(f"expected HTTP {expect_error}")
+        except urllib.error.HTTPError as e:
+            assert e.code == expect_error
+            return e.code, e.headers.get("Content-Type", ""), e.read()
+
+    try:
+        # default (json): {"text": ...}
+        status, ctype, body = post([("file", wav), ("model", b"whisper-1")])
+        assert status == 200 and "json" in ctype
+        assert "text" in json.loads(body)
+
+        # text: plain UTF-8 body
+        status, ctype, body = post(
+            [("file", wav), ("response_format", b"text")])
+        assert status == 200 and ctype.startswith("text/plain")
+        assert body.decode("utf-8").endswith("\n")
+
+        # verbose_json + word granularity -> task/duration/words
+        status, _, body = post([
+            ("file", wav),
+            ("response_format", b"verbose_json"),
+            ("timestamp_granularities[]", b"word"),
+        ])
+        payload = json.loads(body)
+        assert status == 200
+        assert payload["task"] == "transcribe"
+        assert abs(payload["duration"] - 1.0) < 1e-6
+        assert isinstance(payload["words"], list)
+        for w in payload["words"]:
+            assert set(w) == {"word", "start", "end"}
+
+        # OpenAI error envelope on misuse
+        _, _, body = post([("response_format", b"json")], expect_error=400)
+        err = json.loads(body)["error"]
+        assert err["type"] == "invalid_request_error"
+        assert "file" in err["message"]
+        _, _, body = post([("file", wav), ("response_format", b"srt")],
+                          expect_error=400)
+        assert "srt" in json.loads(body)["error"]["message"]
+        # word granularity demands verbose_json (OpenAI contract)
+        _, _, body = post([
+            ("file", wav),
+            ("timestamp_granularities[]", b"word"),
+        ], expect_error=400)
+        assert "verbose_json" in json.loads(body)["error"]["message"]
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_openai_words_need_aligner(rng):
+    """Word timestamps without --aligner-model -> 400 with a pointer to
+    the flag, not a crash."""
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    body, ctype = _multipart([
+        ("file", _wav_bytes(_tone(330))),
+        ("response_format", b"verbose_json"),
+        ("timestamp_granularities[]", b"word"),
+    ])
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/audio/transcriptions", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    try:
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "--aligner-model" in json.loads(e.read())["error"]["message"]
+    finally:
+        httpd.shutdown()
+        server.close()
