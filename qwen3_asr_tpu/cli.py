@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force a JAX platform (e.g. 'cpu', 'tpu'); default: auto")
     p.add_argument("--trace-dir", default="",
                    help="Write a jax.profiler trace (XLA-level timeline) here")
+    p.add_argument("--output-format", default="json",
+                   choices=["json", "srt", "vtt"],
+                   help="Alignment output format (--align / "
+                        "--transcribe-align): the reference's words JSON "
+                        "(default), or SubRip / WebVTT subtitles built "
+                        "from the word timestamps")
     return p
 
 
@@ -146,6 +152,14 @@ def main(argv: list[str] | None = None) -> int:
     from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
     from qwen3_asr_tpu.pipeline.combined import alignment_to_json
     from qwen3_asr_tpu.runtime.profiler import profiler
+    from qwen3_asr_tpu.text.subtitles import words_to_srt, words_to_vtt
+
+    def render_alignment(result) -> str:
+        if args.output_format == "srt":
+            return words_to_srt(result.words)
+        if args.output_format == "vtt":
+            return words_to_vtt(result.words)
+        return alignment_to_json(result)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -201,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"  Total:         {asr_ms + align_ms:.0f} ms\n"
                 f"  Words aligned: {len(combined.alignment.words)}"
             )
-        rc = _write_output(alignment_to_json(combined.alignment), args.output)
+        rc = _write_output(render_alignment(combined.alignment), args.output)
         maybe_profile()
         return rc
 
@@ -244,7 +258,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"  Total:           {result.t_total_ms:.0f} ms\n"
                 f"  Words aligned:   {len(result.words)}"
             )
-        rc = _write_output(alignment_to_json(result), args.output)
+        rc = _write_output(render_alignment(result), args.output)
         maybe_profile()
         return rc
 

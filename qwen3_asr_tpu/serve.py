@@ -19,9 +19,10 @@ Design:
                           {"audio_b64", "text", "language"}) -> {"words": ...}
     POST /v1/audio/transcriptions
                          OpenAI-compatible route (multipart `file`,
-                         `response_format` json|text|verbose_json,
-                         `timestamp_granularities[]=word` via the loaded
-                         aligner) — drop-in for openai-python's
+                         `response_format` json|text|verbose_json|srt|vtt,
+                         `timestamp_granularities[]=word`; words and
+                         subtitles ride the loaded aligner) — drop-in for
+                         openai-python's
                          `client.audio.transcriptions.create(...)`
     GET  /healthz        -> {"status": "ok", ...}
   Handler threads only parse bytes and wait on futures; all device work
@@ -382,12 +383,13 @@ def _make_handler(server: ASRServer):
         def _openai_transcription(self, data: bytes):
             """OpenAI-compatible `POST /v1/audio/transcriptions`
             (multipart: `file` required; `language`, `response_format`
-            json|text|verbose_json, `timestamp_granularities[]=word`
-            honored; `model`/`prompt`/`temperature` accepted and ignored —
-            the loaded model is the model, decoding is greedy). Word
-            timestamps run the forced aligner on the transcript, so
-            `--aligner-model` must be loaded and `response_format` must be
-            `verbose_json` (matching the OpenAI contract)."""
+            json|text|verbose_json|srt|vtt, `timestamp_granularities[]=
+            word` honored; `model`/`prompt`/`temperature` accepted and
+            ignored — the loaded model is the model, decoding is greedy).
+            Word timestamps (and the srt/vtt renders built from them) run
+            the forced aligner on the transcript, so `--aligner-model`
+            must be loaded; granularities require `response_format=
+            verbose_json` (matching the OpenAI contract)."""
             ctype = self.headers.get("Content-Type", "")
             if not ctype.startswith("multipart/form-data"):
                 self._openai_error(
@@ -398,10 +400,10 @@ def _make_handler(server: ASRServer):
                 self._openai_error(400, "missing required field 'file'")
                 return
             fmt = fields.get("response_format", [b"json"])[-1].decode().strip()
-            if fmt not in ("json", "text", "verbose_json"):
+            if fmt not in ("json", "text", "verbose_json", "srt", "vtt"):
                 self._openai_error(
                     400, f"response_format '{fmt}' not supported "
-                         "(json, text, verbose_json)")
+                         "(json, text, verbose_json, srt, vtt)")
                 return
             grans = [g.decode().strip()
                      for g in fields.get("timestamp_granularities[]", [])]
@@ -411,7 +413,7 @@ def _make_handler(server: ASRServer):
                     400, "timestamp_granularities requires "
                          "response_format=verbose_json")
                 return
-            if want_words and server.aligner is None:
+            if (want_words or fmt in ("srt", "vtt")) and server.aligner is None:
                 self._openai_error(
                     400, "word timestamps need an aligner model "
                          "(start the server with --aligner-model)")
@@ -432,6 +434,23 @@ def _make_handler(server: ASRServer):
                 return
             if fmt == "json":
                 self._reply(200, {"text": transcript})
+                return
+            if fmt in ("srt", "vtt"):
+                from qwen3_asr_tpu.text.subtitles import (
+                    words_to_srt, words_to_vtt,
+                )
+
+                words = []
+                if transcript.strip():
+                    align = server.submit_align(
+                        samples, transcript, language).result()
+                    if not align.success:
+                        self._openai_error(500, align.error_msg,
+                                           "server_error")
+                        return
+                    words = align.words
+                render = words_to_srt if fmt == "srt" else words_to_vtt
+                self._reply_text(200, render(words))
                 return
             payload = {
                 "task": "transcribe",

@@ -103,6 +103,17 @@ def test_align_mode_json_output(tmp_path, capsys):
     for w in data["words"]:
         assert set(w) == {"word", "start", "end"}
 
+    # --output-format srt renders the same alignment as subtitles (the
+    # aligner programs are already compiled, so this leg is cheap)
+    srt_file = str(tmp_path / "out.srt")
+    rc = main(["-m", fa_path, "-f", wav, "--align", "--text", "hello world",
+               "--dtype", "float32", "--no-timing", "-o", srt_file,
+               "--output-format", "srt"])
+    assert rc == 0
+    srt = open(srt_file, encoding="utf-8").read()
+    assert srt.startswith("1\n")
+    assert "-->" in srt and "hello world" in srt
+
 
 def test_transcribe_align_mode(tmp_path, capsys):
     """CLI -a/--transcribe-align runs both models through the shared

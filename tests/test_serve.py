@@ -459,9 +459,14 @@ def test_openai_transcriptions_endpoint(rng):
         err = json.loads(body)["error"]
         assert err["type"] == "invalid_request_error"
         assert "file" in err["message"]
-        _, _, body = post([("file", wav), ("response_format", b"srt")],
+        _, _, body = post([("file", wav), ("response_format", b"xml")],
                           expect_error=400)
-        assert "srt" in json.loads(body)["error"]["message"]
+        assert "xml" in json.loads(body)["error"]["message"]
+        # srt/vtt render the aligner's word timestamps as subtitles
+        status, ctype, body = post(
+            [("file", wav), ("response_format", b"vtt")])
+        assert status == 200 and ctype.startswith("text/plain")
+        assert body.decode("utf-8").startswith("WEBVTT")
         # word granularity demands verbose_json (OpenAI contract)
         _, _, body = post([
             ("file", wav),

@@ -234,3 +234,63 @@ def test_classes_to_timestamps_and_pairing():
     # missing timestamps default to (0, duration)
     words = pair_words(["a", "b"], [0.0, 0.5], audio_duration=3.0)
     assert words[1] == {"word": "b", "start": 0.0, "end": 3.0}
+
+
+# ---------------------------------------------------------------------------
+# Subtitle rendering (text/subtitles.py)
+# ---------------------------------------------------------------------------
+
+def test_subtitle_cue_grouping():
+    from qwen3_asr_tpu.text.subtitles import group_words_into_cues
+
+    # 42-char line limit splits; a >1 s gap splits; duration cap splits
+    words = [("alpha", 0.0, 0.4), ("beta", 0.5, 0.9),
+             ("gamma", 2.5, 2.9),                      # 1.6 s gap -> new cue
+             ("delta", 3.0, 3.4)]
+    cues = group_words_into_cues(words)
+    assert [c.text for c in cues] == ["alpha beta", "gamma delta"]
+    assert cues[0].start == 0.0 and cues[0].end == 0.9
+    assert cues[1].start == 2.5 and cues[1].end == 3.4
+
+    # line-length split: words that would exceed max_chars start a new cue
+    longw = [(f"word{i:02d}", i * 0.2, i * 0.2 + 0.1) for i in range(12)]
+    cues = group_words_into_cues(longw, max_chars=20)
+    assert all(len(c.text) <= 20 for c in cues)
+    assert " ".join(c.text for c in cues) == " ".join(w for w, _, _ in longw)
+
+    # duration split
+    slow = [("a", 0.0, 2.0), ("b", 2.0, 4.0), ("c", 4.0, 6.0)]
+    cues = group_words_into_cues(slow, max_duration=4.0, max_gap=10.0)
+    assert len(cues) == 2
+
+    # zero-length words get a renderable floor
+    cues = group_words_into_cues([("x", 1.0, 1.0)])
+    assert cues[0].end > cues[0].start
+
+
+def test_srt_and_vtt_format():
+    from qwen3_asr_tpu.text.subtitles import words_to_srt, words_to_vtt
+
+    words = [("hello", 0.0, 0.5), ("world", 0.6, 1.25),
+             ("again", 3661.5, 3662.0)]  # past the hour mark
+    srt = words_to_srt(words)
+    lines = srt.split("\n")
+    assert lines[0] == "1"
+    assert lines[1] == "00:00:00,000 --> 00:00:01,250"
+    assert lines[2] == "hello world"
+    assert "2" in lines and "01:01:01,500 --> 01:01:02,000" in lines
+
+    vtt = words_to_vtt(words)
+    vlines = vtt.split("\n")
+    assert vlines[0] == "WEBVTT"
+    assert "00:00:00.000 --> 00:00:01.250" in vlines
+    assert "01:01:01.500 --> 01:01:02.000" in vlines
+
+    # dict and object inputs render identically to tuples
+    class W:  # noqa: D401 - tiny stand-in
+        def __init__(self, w, s, e):
+            self.word, self.start, self.end = w, s, e
+    as_dicts = [{"word": w, "start": s, "end": e} for w, s, e in words]
+    as_objs = [W(w, s, e) for w, s, e in words]
+    assert words_to_srt(as_dicts) == srt
+    assert words_to_srt(as_objs) == srt
