@@ -766,6 +766,29 @@ def _mega_kernel(
 _VMEM_BUDGET = 15_500_000
 
 
+def _mega_fixed_common(mega: dict, cfg: DecoderConfig) -> int:
+    """VMEM bytes shared by the single-seq and batched megakernels that
+    do not scale with context length or batch: the weight/scale DMA rings
+    (sized by the largest scheduled chunk) and the resident norm tables.
+    One implementation so the two `*_max_context` estimators cannot
+    drift apart (they must mirror the kernels' scratch shapes exactly)."""
+    H = cfg.hidden_size
+    L = cfg.n_layers
+    w4 = mega["qkv_q"].shape[2] == H // 2
+    co_h = mega["head_q"].shape[2]
+    co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
+                         for m in ("qkv", "wo", "gu", "wd")))
+    ci_max = max(H, *(min(CHUNK_IN,
+                          mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
+                      for m in ("qkv", "wo", "gu", "wd")))
+    buf_rows = ci_max // 2 if w4 else ci_max
+    return (
+        NBUF * buf_rows * co_max          # weight ring (int8)
+        + NBUF * 8 * co_max * 4           # scale ring
+        + L * 8 * H * 4 + H * 4           # norms + out_norm
+    )
+
+
 def mega_max_context(mega: dict, cfg: DecoderConfig,
                      kv_i8: bool, kv_i4: bool = False) -> int:
     """Largest KV length S the single-sequence megakernel fits in VMEM.
@@ -782,19 +805,9 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
     NKV = cfg.n_kv_heads
     DKV = NKV * cfg.head_dim
     L = cfg.n_layers
-    w4 = mega["qkv_q"].shape[2] == H // 2
-    co_h = mega["head_q"].shape[2]
-    co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
-                         for m in ("qkv", "wo", "gu", "wd")))
-    ci_max = max(H, *(min(CHUNK_IN,
-                          mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
-                      for m in ("qkv", "wo", "gu", "wd")))
-    buf_rows = ci_max // 2 if w4 else ci_max
     kv_bytes = 1 if (kv_i8 or kv_i4) else 2
     fixed = (
-        NBUF * buf_rows * co_max          # weight ring (int8)
-        + NBUF * 8 * co_max * 4           # scale ring
-        + L * 8 * H * 4 + H * 4           # norms + out_norm
+        _mega_fixed_common(mega, cfg)     # weight/scale rings + norms
         + 2 * L * 8 * DKV * kv_bytes      # fresh K/V outputs
         + 2 * L * 8 * NKV * 4             # fresh scales
         + H * 4 + H * 2                   # h_dbg + x

@@ -42,36 +42,43 @@ from qwen3_asr_tpu.ops.megakernel import (
 
 NSLAB = 2  # KV slab ring depth (per stream): seq b+1 streams while b attends
 
+# VMEM budget for the BATCHED kernel's estimator, calibrated separately
+# from the single-seq one (ops/megakernel.py::_VMEM_BUDGET): the largest
+# batched footprint that demonstrably compiled AND ran on this v5e is the
+# B=8 x S=1664 serving workload (92 s clips, 322 launches in the round-3
+# device trace) whose estimate below is ~18.27 MB — above the single-seq
+# anchor, i.e. the estimator over-counts relative to Mosaic's real
+# accounting and the budget constant absorbs that model error per kernel.
+# scripts/probe_vmem_limit.py finds the true ceiling; raise once it
+# reports.
+_VMEM_BUDGET_BATCH = 18_500_000
 
-def mega_batch_max_context(mega: dict, cfg) -> int:
+
+def mega_batch_max_context(mega: dict, cfg, batch: int = 16) -> int:
     """Largest per-sequence KV length S the batched megakernel fits in
-    VMEM: it keeps NSLAB whole [S, DKV] K/V slabs (+ [NKV, S] scale slabs)
-    resident, so the footprint is linear in S. Callers gate on this and
-    fall back to the vmapped XLA step for longer contexts. Mirrors
-    mega_decode_step_batch's scratch arithmetic; floored to the 128-row
-    lane alignment."""
-    from qwen3_asr_tpu.ops.megakernel import _VMEM_BUDGET, CHUNK_IN, NBUF
+    VMEM at a kernel batch of `batch`: it keeps NSLAB whole [S, DKV] K/V
+    slabs (+ [NKV, S] scale slabs) resident — linear in S — plus
+    per-sequence VMEM outputs (fresh K/V rows + scales, h_out, x) that
+    are linear in B. Callers gate on this and fall back to the vmapped
+    XLA step for longer contexts; pass the PER-LAUNCH batch (after the
+    <=16-sequence chunking), defaulting to the 16-sequence unroll cap —
+    the conservative bound. Mirrors _mega_batch_kernel's scratch/out
+    arithmetic; floored to the 128-row lane alignment."""
+    from qwen3_asr_tpu.ops.megakernel import _mega_fixed_common
 
     H = cfg.hidden_size
     NKV = cfg.n_kv_heads
     DKV = NKV * cfg.head_dim
     L = cfg.n_layers
-    w4 = mega["qkv_q"].shape[2] == H // 2
-    co_h = mega["head_q"].shape[2]
-    co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
-                         for m in ("qkv", "wo", "gu", "wd")))
-    ci_max = max(H, *(min(CHUNK_IN,
-                          mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
-                      for m in ("qkv", "wo", "gu", "wd")))
-    buf_rows = ci_max // 2 if w4 else ci_max
+    B = max(1, int(batch))
     fixed = (
-        NBUF * buf_rows * co_max
-        + NBUF * 8 * co_max * 4
-        + L * 8 * H * 4 + H * 4
-        + 2 * L * 8 * DKV + 2 * L * 8 * NKV * 4
+        _mega_fixed_common(mega, cfg)     # weight/scale rings + norms
+        + B * (2 * L * 8 * DKV            # fresh K/V outputs [B, L, 8, .]
+               + 2 * L * 8 * NKV * 4      # fresh scales
+               + H * 4 + H * 2 + 4)       # h_out + x + tok_out per seq
     )
     per_row = NSLAB * 2 * DKV + NSLAB * 2 * NKV * 4  # int8 k+v + f32 scales
-    s_max = (_VMEM_BUDGET - fixed) // per_row
+    s_max = (_VMEM_BUDGET_BATCH - fixed) // per_row
     return max(0, int(s_max) // 128 * 128)
 
 

@@ -70,6 +70,8 @@ def wait_for_backend(retries: int = 3, sleep_s: float = 60.0):
             return dev
         except Exception as e:  # noqa: BLE001 — init error shapes vary
             last = e
+            if attempt == retries - 1:
+                break  # no point sleeping before the terminal raise
             print(f"qwen3_asr_tpu: backend init attempt {attempt} failed "
                   f"({e}); retrying in {sleep_s:.0f}s",
                   file=sys.stderr, flush=True)

@@ -228,8 +228,12 @@ def batched_transcribe_step(
         from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
 
         S_need = -(-(tokens.shape[1] + max_tokens) // 128) * 128
+        # per-launch batch: sequences run through the kernel in
+        # <=mega_batch_limit chunks, and the kernel's VMEM outputs
+        # (fresh K/V rows + scales) scale with that launch batch
+        B_launch = min(tokens.shape[0], max(1, mega_batch_limit))
         use_mega_batch = S_need <= mega_batch_max_context(
-            dec_params["mega"], cfg)
+            dec_params["mega"], cfg, batch=B_launch)
     if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 

@@ -336,20 +336,38 @@ class Qwen3ASR:
             )
 
         t0 = time.perf_counter()
+        use_spec = params.spec_k > 0
+        if use_spec:
+            # hard requirements stay errors; the soft long-audio limit
+            # demotes to the plain path below
+            from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+            if ("mega" not in self.params["decoder"]
+                    or not has_pallas_tpu()):
+                result.error_msg = (
+                    "spec_k needs a quantized model with the decode "
+                    "megakernel (quantize='int8pc'/'auto'/'int4') on "
+                    "a Pallas TPU backend")
+                return result
+            from qwen3_asr_tpu.ops.megakernel import mega_max_context
+
+            S_spec = -(-(P + params.max_tokens + params.spec_k) // 128) * 128
+            if S_spec > mega_max_context(self.params["decoder"]["mega"],
+                                         dcfg, kv_i8=True):
+                # past the draft stream's VMEM budget: the plain decode
+                # path produces the same int8pc greedy sequence (it falls
+                # back to the XLA step at this length too) — degrade to
+                # it instead of failing the transcription
+                print("Note: spec_k disabled for this audio length "
+                      "(context exceeds the megakernel's VMEM budget); "
+                      "using the plain decode path.",
+                      file=sys.stderr, flush=True)
+                use_spec = False
         with timer("decode.generate"):
-            if params.spec_k > 0:
+            if use_spec:
                 # greedy self-speculation: exact int8pc-XLA greedy outputs,
                 # weights read once per verify round instead of per token.
                 # Requires the packed megakernel (draft stream) + int8 KV.
-                from qwen3_asr_tpu.ops.support import has_pallas_tpu
-
-                if ("mega" not in self.params["decoder"]
-                        or not has_pallas_tpu()):
-                    result.error_msg = (
-                        "spec_k needs a quantized model with the decode "
-                        "megakernel (quantize='int8pc'/'auto'/'int4') on "
-                        "a Pallas TPU backend")
-                    return result
                 if self._cache_dtype() is not jnp.int8:
                     # the verify pass's KV layout is int8; an explicit
                     # bf16/int4 cache setting cannot be honored here

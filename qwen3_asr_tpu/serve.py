@@ -59,6 +59,31 @@ from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
 from qwen3_asr_tpu.text.prompt import detect_language, extract_transcript
 
 
+# ISO-639-1 -> the language names the pipeline uses (detect_language
+# emits lowercase full names; the aligner's Korean dictionary split
+# triggers on exactly "korean"). OpenAI clients send the ISO codes.
+_ISO_LANG = {
+    "ko": "korean", "en": "english", "zh": "chinese", "ja": "japanese",
+    "de": "german", "fr": "french", "es": "spanish", "ru": "russian",
+    "pt": "portuguese", "it": "italian", "ar": "arabic", "hi": "hindi",
+    "id": "indonesian", "vi": "vietnamese", "th": "thai", "tr": "turkish",
+    "nl": "dutch", "pl": "polish", "sv": "swedish", "ms": "malay",
+}
+
+
+def _normalize_language(lang: str) -> str:
+    lang = lang.strip().lower()
+    return _ISO_LANG.get(lang, lang)
+
+
+def _pallas_ok() -> bool:
+    """Whether the batched decode megakernel can run here (indirection so
+    tests can exercise the batch-grouping logic on CPU)."""
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    return has_pallas_tpu()
+
+
 @dataclass
 class _Request:
     samples: np.ndarray
@@ -214,6 +239,11 @@ class ASRServer:
         dec = self.asr.params["decoder"]
         if "mega" not in dec or self.asr._cache_dtype() == jnp.bfloat16:
             return True  # single group: routing doesn't depend on length
+        if not _pallas_ok():
+            # no Pallas backend: every batch takes the vmapped XLA step
+            # regardless of length, so splitting buys nothing and costs
+            # an extra decode round per mixed batch
+            return True
         from qwen3_asr_tpu.audio.mel import num_mel_frames
         from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
         from qwen3_asr_tpu.text.prompt import build_asr_prompt
@@ -227,7 +257,8 @@ class ASRServer:
         bucket = self.params.prompt_bucket
         P = -(-n_prompt // bucket) * bucket
         S_need = -(-(P + self.params.max_tokens) // 128) * 128
-        return S_need <= mega_batch_max_context(dec["mega"], dcfg)
+        return S_need <= mega_batch_max_context(
+            dec["mega"], dcfg, batch=min(self.max_batch, 16))
 
     def _run_transcribe(self, batch: list[_Request]) -> list:
         """Dispatch a multi-request transcription round: requests split
@@ -300,10 +331,16 @@ def _parse_multipart(data: bytes, content_type: str) -> dict[str, list[bytes]]:
             continue
         name = ""
         for line in head.split(b"\r\n"):
-            low = line.lower()
-            if low.startswith(b"content-disposition") and b"name=" in low:
-                raw = line.split(b"name=", 1)[1].split(b";")[0].strip(b'" ')
-                name = raw.decode("utf-8", "replace")
+            if not line.lower().startswith(b"content-disposition"):
+                continue
+            # parse parameters individually: a naive 'name=' substring
+            # search would match inside 'filename=' when a client emits
+            # filename before name (RFC 7578 mandates no order)
+            for param in line.split(b";"):
+                param = param.strip()
+                if param.lower().startswith(b"name="):
+                    name = param[len(b"name="):].strip(b'" ').decode(
+                        "utf-8", "replace")
         if name:
             fields.setdefault(name, []).append(body)
     return fields
@@ -427,8 +464,13 @@ def _make_handler(server: ASRServer):
                 self._openai_error(500, result.error_msg, "server_error")
                 return
             transcript = extract_transcript(result.text)
-            language = (detect_language(result.text)
-                        or fields.get("language", [b""])[-1].decode().strip())
+            # an explicitly supplied language wins over detection (the
+            # client is asserting ground truth); ISO codes map to the
+            # pipeline's full names so 'ko' still triggers the Korean
+            # dictionary split in the aligner
+            language = (_normalize_language(
+                            fields.get("language", [b""])[-1].decode())
+                        or detect_language(result.text))
             if fmt == "text":
                 self._reply_text(200, transcript + "\n")
                 return
@@ -452,24 +494,54 @@ def _make_handler(server: ASRServer):
                 render = words_to_srt if fmt == "srt" else words_to_vtt
                 self._reply_text(200, render(words))
                 return
+            duration = round(len(samples) / SAMPLE_RATE, 3)
             payload = {
                 "task": "transcribe",
                 "language": language,
-                "duration": round(len(samples) / SAMPLE_RATE, 3),
+                "duration": duration,
                 "text": transcript,
             }
-            if want_words:
-                words = []
-                if transcript.strip():
-                    align = server.submit_align(
+
+            def segment(i, start, end, text):
+                # full OpenAI segment schema so strict clients parse;
+                # the logprob/ratio diagnostics are not produced by a
+                # greedy pipeline and carry neutral values
+                return {"id": i, "seek": 0, "start": start, "end": end,
+                        "text": text, "tokens": [], "temperature": 0.0,
+                        "avg_logprob": 0.0, "compression_ratio": 1.0,
+                        "no_speech_prob": 0.0}
+
+            aligned = None
+            if (want_words or fmt == "verbose_json") and transcript.strip():
+                if server.aligner is not None and want_words:
+                    aligned = server.submit_align(
                         samples, transcript, language).result()
-                    if not align.success:
-                        self._openai_error(500, align.error_msg,
+                    if not aligned.success:
+                        self._openai_error(500, aligned.error_msg,
                                            "server_error")
                         return
-                    words = [{"word": w.word, "start": w.start,
-                              "end": w.end} for w in align.words]
-                payload["words"] = words
+            if aligned is not None:
+                from qwen3_asr_tpu.text.subtitles import (
+                    group_words_into_cues,
+                )
+
+                payload["segments"] = [
+                    segment(i, c.start, c.end, c.text)
+                    for i, c in enumerate(
+                        group_words_into_cues(aligned.words))
+                ]
+            else:
+                # verbose_json always carries segments in the OpenAI
+                # schema; without word timestamps the whole transcript
+                # is one segment spanning the audio
+                payload["segments"] = ([] if not transcript.strip() else
+                                       [segment(0, 0.0, duration,
+                                                transcript)])
+            if want_words:
+                payload["words"] = [
+                    {"word": w.word, "start": w.start, "end": w.end}
+                    for w in (aligned.words if aligned is not None else [])
+                ]
             self._reply(200, payload)
 
         def do_POST(self):  # noqa: N802

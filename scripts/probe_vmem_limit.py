@@ -128,9 +128,15 @@ def main():
 
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
+    # --shapes PATH applies to BOTH phases (dump and probe); the probe
+    # phase previously always read the default path, silently ignoring a
+    # custom --dump-shapes destination
+    if "--shapes" in sys.argv:
+        i = sys.argv.index("--shapes")
+        SHAPES = sys.argv[i + 1]
     if "--dump-shapes" in sys.argv:
         i = sys.argv.index("--dump-shapes")
-        if len(sys.argv) > i + 1:
+        if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-"):
             SHAPES = sys.argv[i + 1]
         dump_shapes()
     else:

@@ -230,7 +230,6 @@ def test_batched_mega_vmem_guard_falls_back(setup, monkeypatch):
     fits the kernel's VMEM budget (forced here by shrinking it),
     batched_transcribe_step must route to the vmapped XLA step — output
     bit-identical to a run with no megakernel pack at all."""
-    from qwen3_asr_tpu.ops import megakernel as MK
     from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
     from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
     from qwen3_asr_tpu.runtime.params import (
@@ -245,6 +244,9 @@ def test_batched_mega_vmem_guard_falls_back(setup, monkeypatch):
     dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
     dec["mega"] = pack_megakernel_params(dec, cfg)
     assert mega_batch_max_context(dec["mega"], cfg) > 0
+    # VMEM outputs scale with the launch batch: bigger B, smaller ceiling
+    assert (mega_batch_max_context(dec["mega"], cfg, batch=1)
+            >= mega_batch_max_context(dec["mega"], cfg, batch=16))
 
     B, Pr, MAX = 2, 16, 4
     rng = np.random.default_rng(7)
@@ -253,7 +255,9 @@ def test_batched_mega_vmem_guard_falls_back(setup, monkeypatch):
     audio = jnp.zeros((B, 4, cfg.hidden_size), jnp.bfloat16)
     n_audio = jnp.zeros((B,), jnp.int32)
 
-    monkeypatch.setattr(MK, "_VMEM_BUDGET", 1)
+    from qwen3_asr_tpu.ops import megakernel_batch as MB
+
+    monkeypatch.setattr(MB, "_VMEM_BUDGET_BATCH", 1)
     assert mega_batch_max_context(dec["mega"], cfg) == 0
     out_g, nk_g = batched_transcribe_step(
         dec, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,

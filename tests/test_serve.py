@@ -339,12 +339,19 @@ def test_server_splits_long_context_batch(rng, monkeypatch):
     dec = asr.params["decoder"]
     assert "mega" in dec
 
-    from qwen3_asr_tpu.ops import megakernel as MK
+    from qwen3_asr_tpu import serve as SV
+    from qwen3_asr_tpu.ops import megakernel_batch as MB
     from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
 
+    # grouping only matters where the kernel can actually run — fake the
+    # serve-side Pallas check so the CPU test exercises the split logic
+    # (the decode itself still takes the vmapped XLA step on CPU)
+    monkeypatch.setattr(SV, "_pallas_ok", lambda: True)
+
     def max_s(budget):
-        monkeypatch.setattr(MK, "_VMEM_BUDGET", budget)
-        return mega_batch_max_context(dec["mega"], cfg.decoder)
+        monkeypatch.setattr(MB, "_VMEM_BUDGET_BATCH", budget)
+        return mega_batch_max_context(dec["mega"], cfg.decoder,
+                                      batch=min(4, 16))
 
     # smallest budget whose kernel fits exactly 128 KV rows: 1 s files
     # (S_need=128) stay eligible, 8 s files (S_need=256) do not
@@ -453,6 +460,23 @@ def test_openai_transcriptions_endpoint(rng):
         assert isinstance(payload["words"], list)
         for w in payload["words"]:
             assert set(w) == {"word", "start", "end"}
+        # verbose_json always carries OpenAI-schema segments
+        assert isinstance(payload["segments"], list)
+        for s in payload["segments"]:
+            assert {"id", "seek", "start", "end", "text", "tokens",
+                    "temperature", "avg_logprob", "compression_ratio",
+                    "no_speech_prob"} <= set(s)
+
+        # client-asserted ISO language wins over detection and maps to
+        # the pipeline's full name (so 'ko' can trigger the Korean
+        # dictionary split downstream)
+        status, _, body = post([
+            ("file", wav),
+            ("response_format", b"verbose_json"),
+            ("language", b"ko"),
+        ])
+        assert status == 200
+        assert json.loads(body)["language"] == "korean"
 
         # OpenAI error envelope on misuse
         _, _, body = post([("response_format", b"json")], expect_error=400)

@@ -121,3 +121,43 @@ def test_pipeline_spec_k_clean_error_off_tpu(tmp_path):
         max_tokens=4, spec_k=4, print_timing=False))
     assert not res.success
     assert "spec_k" in res.error_msg and "Pallas" in res.error_msg
+
+
+def test_pipeline_spec_k_long_audio_demotes_to_plain(tmp_path, monkeypatch):
+    """Past the megakernel's VMEM budget, spec_k must DEGRADE to the plain
+    decode path (same int8pc greedy output) instead of failing the
+    transcription (review r3: every other path auto-falls back)."""
+    import sys
+
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__).parent)))
+    from helpers import make_byte_vocab, write_tiny_gguf
+
+    from qwen3_asr_tpu.config import tiny_asr_config
+    from qwen3_asr_tpu.ops import support
+    from qwen3_asr_tpu.ops import megakernel as MK
+    from qwen3_asr_tpu.pipeline.asr import Qwen3ASR, TranscribeParams
+    from qwen3_asr_tpu.runtime.params import init_asr_params
+
+    cfg = tiny_asr_config()
+    p = jax.tree.map(np.asarray, init_asr_params(cfg, 3, jnp.float32))
+    vocab = make_byte_vocab(cfg.decoder.vocab_size,
+                            {cfg.decoder.eos_token_id: "<|im_end|>"})
+    path = str(tmp_path / "m.gguf")
+    write_tiny_gguf(path, cfg, p, vocab=vocab, merges=[])
+    asr = Qwen3ASR(dtype=jnp.float32, quantize="int8pc")
+    assert asr.load_model(path)
+    audio = np.zeros(16000, np.float32)
+
+    plain = asr.transcribe(audio, TranscribeParams(
+        max_tokens=4, print_timing=False))
+    assert plain.success
+
+    # pretend a Pallas TPU is present but the context never fits: the
+    # spec pre-check demotes, generate_greedy's own guard keeps it on
+    # the XLA step, and the output matches the plain run exactly
+    monkeypatch.setattr(support, "has_pallas_tpu", lambda: True)
+    monkeypatch.setattr(MK, "_VMEM_BUDGET", 1)
+    res = asr.transcribe(audio, TranscribeParams(
+        max_tokens=4, spec_k=4, print_timing=False))
+    assert res.success
+    assert res.tokens == plain.tokens
