@@ -101,9 +101,20 @@ def main():
 
     from qwen3_asr_tpu.ops.support import wait_for_backend
 
-    # the tunnel's first contact can be UNAVAILABLE for minutes;
-    # don't die without an artifact
-    wait_for_backend()
+    # the tunnel's first contact can be UNAVAILABLE for minutes (outages
+    # of hours have been observed); ride it out, and if the backend never
+    # comes up emit an explicit error artifact instead of a stack trace —
+    # a zero-value JSON with an "error" field is diagnosable downstream,
+    # a missing artifact is not
+    try:
+        wait_for_backend(retries=6, sleep_s=120.0)
+    except Exception as e:  # noqa: BLE001 — init error shapes vary
+        print(json.dumps({
+            "metric": "asr_realtime_factor", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable after retries: {e}",
+        }))
+        return 1
     import jax.numpy as jnp
 
     from qwen3_asr_tpu.audio import generate_mel_filters, log_mel_spectrogram

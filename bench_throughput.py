@@ -27,9 +27,18 @@ def main():
 
     from qwen3_asr_tpu.ops.support import wait_for_backend
 
-    # the tunnel's first contact can be UNAVAILABLE for minutes;
-    # don't die without an artifact
-    wait_for_backend()
+    # the tunnel's first contact can be UNAVAILABLE for minutes (outages
+    # of hours have been observed); on terminal failure emit an explicit
+    # error artifact instead of a stack trace
+    try:
+        wait_for_backend(retries=6, sleep_s=120.0)
+    except Exception as e:  # noqa: BLE001 - init error shapes vary
+        print(json.dumps({
+            "metric": "batched_throughput", "value": 0.0, "unit": "error",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable after retries: {e}",
+        }))
+        return 1
     import jax.numpy as jnp
 
     from qwen3_asr_tpu.config import ASRModelConfig
