@@ -530,3 +530,26 @@ def test_openai_words_need_aligner(rng):
     finally:
         httpd.shutdown()
         server.close()
+
+
+def test_multipart_filename_before_name():
+    """RFC 7578 mandates no parameter order in Content-Disposition:
+    'filename=' ahead of 'name=' must not shadow the field name."""
+    from qwen3_asr_tpu.serve import _parse_multipart
+
+    boundary = "b123"
+    body = (
+        b"--b123\r\n"
+        b'Content-Disposition: form-data; filename="a.wav"; name="file"\r\n'
+        b"\r\npayload\r\n"
+        b"--b123\r\n"
+        b'Content-Disposition: form-data; name="x"; filename="f"\r\n'
+        b"\r\nv1\r\n"
+        b"--b123\r\n"
+        b'Content-Disposition: form-data; name="x"\r\n'
+        b"\r\nv2\r\n"
+        b"--b123--\r\n"
+    )
+    fields = _parse_multipart(body, f"multipart/form-data; boundary={boundary}")
+    assert fields["file"] == [b"payload"]
+    assert fields["x"] == [b"v1", b"v2"]  # repeats accumulate in order
