@@ -310,11 +310,14 @@ def generate_greedy_streaming(
     dec_params, cfg, tokens, n_prompt, audio, n_audio,
     audio_offset: int, max_tokens: int,
     on_token=None, cache_dtype=jnp.bfloat16, chunk: int = 8,
+    on_token_id=None,
     _force_mega_interpret: bool = False,
 ):
     """Greedy decode with a host-side loop, invoking
     `on_token(i, max_tokens)` per token — the per-token progress contract
-    of the reference (qwen3_asr.cpp:264,289). Decodes `chunk` tokens per
+    of the reference (qwen3_asr.cpp:264,289) — and, when given,
+    `on_token_id(token)` with each generated token id (the serving
+    layer's SSE text streaming rides this). Decodes `chunk` tokens per
     device dispatch (callbacks stay per-token, just burstier): per-dispatch
     latency dominates this path on network-attached chips, so chunking
     amortizes it ~chunk-fold. Same outputs as `generate_greedy`.
@@ -373,6 +376,8 @@ def generate_greedy_streaming(
         out.append(t)
         if on_token:
             on_token(len(out), max_tokens)
+        if on_token_id:
+            on_token_id(t)
         return len(out) < max_tokens
 
     if not emit(int(token)):

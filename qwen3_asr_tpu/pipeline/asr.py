@@ -103,6 +103,7 @@ class Qwen3ASR:
         self.params = None
         self.tokenizer: BPETokenizer | None = None
         self._progress_cb: Callable[[int, int], None] | None = None
+        self._token_cb: Callable[[int], None] | None = None
         self.error_msg = ""
 
     # -- loading -----------------------------------------------------------
@@ -163,6 +164,14 @@ class Qwen3ASR:
 
     def set_progress_callback(self, cb: Callable[[int, int], None]) -> None:
         self._progress_cb = cb
+
+    def set_token_callback(self, cb: Callable[[int], None] | None) -> None:
+        """Per-token-id callback during streaming decode (`cb(token_id)`).
+        Setting it routes transcribe() through the streaming path; the
+        serving layer's SSE text deltas ride this. Call with None to
+        clear. Device work is single-threaded (one transcription at a
+        time), so setting it around a call is race-free."""
+        self._token_cb = cb
 
     def _maybe_pack_megakernel(self, quantize: str) -> None:
         """int8pc/int4 + fused => also pack the whole-step decode
@@ -239,7 +248,8 @@ class Qwen3ASR:
 
         fused_path = (params.fused and params.mel_bucket == 0
                       and params.spec_k == 0
-                      and not (self._progress_cb or params.print_progress))
+                      and not (self._progress_cb or self._token_cb
+                               or params.print_progress))
         if not fused_path and hasattr(samples, "samples"):
             samples = samples.samples  # PreparedPCM only helps fused legs
 
@@ -398,7 +408,7 @@ class Qwen3ASR:
                         f"({int(stats['accepted']) / drafted:.0%})",
                         file=sys.stderr, flush=True,
                     )
-            elif self._progress_cb or params.print_progress:
+            elif self._progress_cb or self._token_cb or params.print_progress:
                 # streaming path: one dispatch per token, per-token progress
                 # (the reference's callback contract, qwen3_asr.cpp:264,289)
                 from qwen3_asr_tpu.models.generate import generate_greedy_streaming
@@ -415,6 +425,7 @@ class Qwen3ASR:
                     jnp.asarray(toks), jnp.int32(n_prompt),
                     audio_padded, jnp.int32(n_audio), offset,
                     params.max_tokens, on_token=on_token,
+                    on_token_id=self._token_cb,
                     cache_dtype=self._cache_dtype(),
                 )
             else:

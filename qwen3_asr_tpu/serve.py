@@ -21,7 +21,9 @@ Design:
                          OpenAI-compatible route (multipart `file`,
                          `response_format` json|text|verbose_json|srt|vtt,
                          `timestamp_granularities[]=word`; words and
-                         subtitles ride the loaded aligner) — drop-in for
+                         subtitles ride the loaded aligner; `stream=true`
+                         returns SSE transcript.text.delta/.done events
+                         as the decode progresses) — drop-in for
                          openai-python's
                          `client.audio.transcriptions.create(...)`
     GET  /healthz        -> {"status": "ok", ...}
@@ -90,6 +92,13 @@ class _Request:
     future: Future
     align_text: str | None = None  # set: forced-alignment request
     language: str = ""
+    stream_q: queue.Queue | None = None  # set: SSE streaming request
+
+
+def _request_kind(req: _Request) -> str:
+    if req.align_text is not None:
+        return "align"
+    return "stream" if req.stream_q is not None else "asr"
 
 
 class ASRServer:
@@ -143,6 +152,16 @@ class ASRServer:
                                  language=language))
         return fut
 
+    def submit_stream(self, samples: np.ndarray) -> queue.Queue:
+        """Enqueue a STREAMING transcription: returns a queue of events
+        `("delta", text)` as tokens decode, then one `("done", result)`
+        (result.text already prefix-stripped) or `("error", msg)`.
+        Streaming requests run alone (one dispatch per token chunk, not
+        batchable), on the same single worker thread as everything else."""
+        q: queue.Queue = queue.Queue()
+        self._queue.put(_Request(np.asarray(samples), Future(), stream_q=q))
+        return q
+
     def warmup(self, seconds: tuple = (5, 15, 30)) -> None:
         """Precompile the shape buckets before taking traffic: with
         mel_bucket set, each representative length compiles the one
@@ -176,13 +195,15 @@ class ASRServer:
             first = self._queue.get()
             if first is None:
                 return []
-        is_align = first.align_text is not None
+        kind = _request_kind(first)
         batch = [first]
+        if kind == "stream":
+            return batch  # streaming requests run alone, immediately
 
         # same-kind requests stashed in earlier rounds go first
         i = 0
         while i < len(self._pending) and len(batch) < self.max_batch:
-            if (self._pending[i].align_text is not None) == is_align:
+            if _request_kind(self._pending[i]) == kind:
                 batch.append(self._pending[i])
                 del self._pending[i]
             else:
@@ -199,7 +220,7 @@ class ASRServer:
                 break
             if req is None:
                 break
-            if (req.align_text is not None) != is_align:
+            if _request_kind(req) != kind:
                 self._pending.append(req)  # next round's batch
                 continue
             batch.append(req)
@@ -211,7 +232,10 @@ class ASRServer:
             if not batch:
                 continue
             try:
-                if batch[0].align_text is not None:
+                if batch[0].stream_q is not None:
+                    self._run_stream(batch[0])
+                    results = []
+                elif batch[0].align_text is not None:
                     results = self._run_align(batch)
                 elif len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
@@ -221,7 +245,9 @@ class ASRServer:
                     req.future.set_result(res)
             except Exception as e:  # noqa: BLE001 — propagate to all waiters
                 for req in batch:
-                    if not req.future.done():
+                    if req.stream_q is not None:
+                        req.stream_q.put(("error", str(e)))
+                    elif not req.future.done():
                         req.future.set_exception(e)
             self.n_served += len(batch)
             self.n_batches += 1
@@ -286,6 +312,55 @@ class ASRServer:
                               self.asr.transcribe_batch(samples, self.params)):
                 results[i] = res
         return results
+
+    def _run_stream(self, req: _Request) -> None:
+        """One streaming transcription: ride the pipeline's per-token-id
+        callback, decode the accumulated ids incrementally, and push text
+        DELTAS onto the request's queue. Partial UTF-8 at the token
+        boundary is held back (trailing U+FFFD from the byte decoder),
+        and the 'language Xxx' prefix is stripped incrementally
+        (StreamingTranscriptCleaner) so deltas carry only transcript
+        text. Ends with ("done", result) — result.text prefix-stripped —
+        or ("error", msg)."""
+        from qwen3_asr_tpu.text.prompt import StreamingTranscriptCleaner
+
+        state = {"ids": [], "prev": ""}
+        cleaner = StreamingTranscriptCleaner()
+
+        def on_id(tok: int):
+            state["ids"].append(tok)
+            text = self.asr.tokenizer.decode(state["ids"])
+            while text.endswith("�"):
+                text = text[:-1]  # partial UTF-8: wait for the next token
+            prev = state["prev"]
+            if text.startswith(prev) and len(text) > len(prev):
+                state["prev"] = text
+                delta = cleaner.feed(text[len(prev):])
+                if delta:
+                    req.stream_q.put(("delta", delta))
+            # non-prefix-stable decode (held bytes resolving differently)
+            # simply waits for the next token; the final pass below
+            # reconciles against the authoritative full decode
+
+        self.asr.set_token_callback(on_id)
+        try:
+            result = self.asr.transcribe(req.samples, self.params)
+        finally:
+            self.asr.set_token_callback(None)
+        if not result.success:
+            req.stream_q.put(("error", result.error_msg))
+            return
+        full = result.text
+        prev = state["prev"]
+        tail = cleaner.feed(full[len(prev):]) if (
+            full.startswith(prev) and len(full) > len(prev)) else ""
+        tail += cleaner.flush()
+        if tail:
+            req.stream_q.put(("delta", tail))
+        from qwen3_asr_tpu.text.prompt import extract_transcript
+
+        result.text = extract_transcript(full)
+        req.stream_q.put(("done", result))
 
     def _run_align(self, batch: list[_Request]) -> list:
         """One align_batch dispatch per language group (usually one)."""
@@ -442,9 +517,21 @@ def _make_handler(server: ASRServer):
                     400, f"response_format '{fmt}' not supported "
                          "(json, text, verbose_json, srt, vtt)")
                 return
+            stream = fields.get("stream", [b""])[-1].decode().strip().lower() \
+                in ("true", "1")
             grans = [g.decode().strip()
                      for g in fields.get("timestamp_granularities[]", [])]
             want_words = "word" in grans
+            if stream:
+                if fmt not in ("json", "text"):
+                    self._openai_error(
+                        400, "stream=true supports response_format json "
+                             "or text (timestamps need the full result)")
+                    return
+                if want_words:
+                    self._openai_error(
+                        400, "stream=true cannot carry word timestamps")
+                    return
             if want_words and fmt != "verbose_json":
                 self._openai_error(
                     400, "timestamp_granularities requires "
@@ -458,6 +545,9 @@ def _make_handler(server: ASRServer):
             samples, sr = load_wav_bytes(fields["file"][-1], raw_int16=True)
             if sr != SAMPLE_RATE:
                 self._openai_error(400, f"Audio must be 16kHz, got {sr} Hz")
+                return
+            if stream:
+                self._sse_transcription(samples)
                 return
             result = server.submit(samples).result()
             if not result.success:
@@ -543,6 +633,45 @@ def _make_handler(server: ASRServer):
                     for w in (aligned.words if aligned is not None else [])
                 ]
             self._reply(200, payload)
+
+        def _sse_transcription(self, samples):
+            """Server-sent-events response (OpenAI `stream=true`): one
+            `transcript.text.delta` event per decoded text chunk, a final
+            `transcript.text.done` with the full transcript, then
+            `[DONE]`. Chunked transfer encoding, written as events drain
+            from the worker's stream queue (the decode runs token-chunked
+            on the device; the handler thread only forwards)."""
+            q = server.submit_stream(samples)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream; charset=utf-8")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(payload: str):
+                data = f"data: {payload}\n\n".encode("utf-8")
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data
+                                 + b"\r\n")
+                self.wfile.flush()
+
+            while True:
+                kind, value = q.get()
+                if kind == "delta":
+                    emit(json.dumps({"type": "transcript.text.delta",
+                                     "delta": value}, ensure_ascii=False))
+                elif kind == "done":
+                    emit(json.dumps({"type": "transcript.text.done",
+                                     "text": value.text},
+                                    ensure_ascii=False))
+                    break
+                else:  # error mid-stream: surface as an SSE event
+                    emit(json.dumps({"type": "error",
+                                     "error": {"message": value,
+                                               "type": "server_error"}},
+                                    ensure_ascii=False))
+                    break
+            emit("[DONE]")
+            self.wfile.write(b"0\r\n\r\n")  # chunked terminator
 
         def do_POST(self):  # noqa: N802
             if self.path not in ("/v1/transcribe", "/v1/align",

@@ -87,3 +87,64 @@ def extract_transcript(asr_text: str) -> str:
             break
         pos += 1
     return asr_text[pos:]
+
+
+def _prefix_split(s: str, final: bool) -> tuple[bool, int]:
+    """Incremental form of `extract_transcript`'s prefix scan: given the
+    text streamed so far, return (resolved, strip_len). resolved=False
+    means more input could still extend the 'language Xxx' prefix, so the
+    caller must keep buffering; `final=True` forces resolution at stream
+    end (the whole buffer may BE the prefix)."""
+    prefix = "language "
+    if not s.startswith(prefix[: len(s)]):
+        return True, 0  # diverged: nothing to strip
+    if len(s) <= len(prefix):
+        if final:
+            # exactly 'language ' strips to empty (extract_transcript's
+            # pos>=len case); any shorter partial is returned unchanged
+            return True, len(s) if s == prefix else 0
+        return False, 0  # could still grow into the prefix
+    pos = len(prefix)
+    if not ("A" <= s[pos] <= "Z"):
+        return True, 0
+    pos += 1
+    while pos < len(s) and "a" <= s[pos] <= "z":
+        pos += 1
+    if pos == len(s):
+        return final, pos if final else 0
+    while pos < len(s):
+        c = s[pos]
+        if ord(c) >= 0x80 or not c.isspace():
+            return True, pos  # first real transcript char seen
+        pos += 1
+    return final, pos if final else 0  # trailing whitespace may continue
+
+
+class StreamingTranscriptCleaner:
+    """Strip the leading 'language Xxx' prefix from INCREMENTALLY streamed
+    ASR text (SSE serving): feed() returns the cleaned text ready to emit
+    (empty while the prefix is still ambiguous), flush() settles the
+    buffer at stream end. The concatenation of all returns equals
+    `extract_transcript` of the concatenated input, for every chunking
+    (property-tested)."""
+
+    def __init__(self):
+        self._buf = ""
+        self._resolved = False
+
+    def feed(self, piece: str) -> str:
+        if self._resolved:
+            return piece
+        self._buf += piece
+        resolved, strip = _prefix_split(self._buf, final=False)
+        if resolved:
+            self._resolved = True
+            return self._buf[strip:]
+        return ""
+
+    def flush(self) -> str:
+        if self._resolved:
+            return ""
+        resolved, strip = _prefix_split(self._buf, final=True)
+        self._resolved = True
+        return self._buf[strip:]

@@ -553,3 +553,112 @@ def test_multipart_filename_before_name():
     fields = _parse_multipart(body, f"multipart/form-data; boundary={boundary}")
     assert fields["file"] == [b"payload"]
     assert fields["x"] == [b"v1", b"v2"]  # repeats accumulate in order
+
+
+def test_submit_stream_deltas_match_final(rng):
+    """Streaming transcription: deltas concatenate exactly to the final
+    prefix-stripped transcript, and the done-result matches a plain
+    transcribe of the same audio."""
+    from qwen3_asr_tpu.text.prompt import extract_transcript
+
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=6, print_timing=False,
+                              prompt_bucket=32)
+    audio = _tone(440, 1.0)
+    plain = asr.transcribe(audio, params)
+    assert plain.success
+
+    server = ASRServer(asr, params, max_batch=4, max_wait_ms=5.0)
+    try:
+        q = server.submit_stream(audio)
+        deltas, done = [], None
+        while True:
+            kind, value = q.get(timeout=300)
+            if kind == "delta":
+                deltas.append(value)
+            elif kind == "done":
+                done = value
+                break
+            else:
+                raise AssertionError(f"stream error: {value}")
+        assert done.success
+        assert done.tokens == plain.tokens  # streaming == whole-loop greedy
+        assert done.text == extract_transcript(plain.text)
+        assert "".join(deltas) == done.text
+    finally:
+        server.close()
+
+
+def test_openai_sse_streaming(rng):
+    """`stream=true` returns text/event-stream with delta events, a done
+    event whose text equals the joined deltas, and a [DONE] marker."""
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    url = f"http://127.0.0.1:{port}/v1/audio/transcriptions"
+    wav = _wav_bytes(_tone(440))
+    body, ctype = _multipart([("file", wav), ("stream", b"true")])
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers.get("Content-Type", "").startswith(
+                "text/event-stream")
+            raw = r.read().decode("utf-8")
+        events = [line[len("data: "):] for line in raw.split("\n")
+                  if line.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        parsed = [json.loads(e) for e in events[:-1]]
+        assert parsed[-1]["type"] == "transcript.text.done"
+        deltas = [p["delta"] for p in parsed[:-1]]
+        assert all(p["type"] == "transcript.text.delta"
+                   for p in parsed[:-1])
+        assert "".join(deltas) == parsed[-1]["text"]
+
+        # stream + verbose_json is an explicit 400 (OpenAI contract)
+        body, ctype = _multipart([
+            ("file", wav), ("stream", b"true"),
+            ("response_format", b"verbose_json")])
+        bad = urllib.request.Request(
+            url, data=body, headers={"Content-Type": ctype}, method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_streaming_transcript_cleaner_property(rng):
+    """Every chunking of every raw-ASR text must clean to exactly
+    extract_transcript of the whole (the SSE delta contract)."""
+    import random as _random
+
+    from qwen3_asr_tpu.text.prompt import (
+        StreamingTranscriptCleaner,
+        extract_transcript,
+    )
+
+    cases = ["language Korean 안녕하세요 여러분", "language English  hi",
+             "language ", "language X", "languish hello", "hello world",
+             "", "language Korean", "language Korean   ",
+             "Language Korean x", "language korean x", "languag",
+             "language Korean\t\n  mixed ws", "language Korean안녕"]
+    rnd = _random.Random(0)
+    for s in cases:
+        for _ in range(25):
+            cuts = sorted(rnd.sample(range(len(s) + 1),
+                                     min(len(s), rnd.randint(0, 6))))
+            parts, prev = [], 0
+            for c in cuts + [len(s)]:
+                parts.append(s[prev:c])
+                prev = c
+            cl = StreamingTranscriptCleaner()
+            got = "".join(cl.feed(p) for p in parts) + cl.flush()
+            assert got == extract_transcript(s), (s, parts, got)
