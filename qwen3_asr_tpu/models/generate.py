@@ -57,6 +57,25 @@ def generate_greedy(
     # jnp.int4 arrays never cross the jit boundary (they crash the axon
     # plugin's device_put) — cache_dtype=jnp.int4 is a static marker only.
     kv_i4 = cache_dtype == jnp.int4
+
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_mega = ("mega" in dec_params
+                and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
+                and has_pallas_tpu())
+    kv_stream = False
+    if use_mega:
+        # long contexts: past the resident kernel's VMEM budget the
+        # megakernel switches to streamed-KV attention (KV tiles ride a
+        # small ring with an online softmax — VMEM O(1) in S), so ANY
+        # audio length keeps the flagship kernel instead of dropping to
+        # the XLA step
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK, mega_max_context
+
+        if S > mega_max_context(dec_params["mega"], cfg,
+                                kv_i8=cache_dtype == jnp.int8, kv_i4=kv_i4):
+            kv_stream = True
+            S = -(-(P + max_tokens) // KV_BLOCK) * KV_BLOCK
     cache = init_kv_cache(cfg, S, jnp.int8 if kv_i4 else cache_dtype)
 
     # ---- prefill -----------------------------------------------------------
@@ -72,19 +91,6 @@ def generate_greedy(
     # ---- decode loop -------------------------------------------------------
     out0 = jnp.zeros((max_tokens,), jnp.int32).at[0].set(first)
 
-    from qwen3_asr_tpu.ops.support import has_pallas_tpu
-
-    use_mega = ("mega" in dec_params
-                and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
-                and has_pallas_tpu())
-    if use_mega:
-        # long-context guard: the kernel holds whole [S, DKV] K/V slabs in
-        # VMEM; past the budget fall back to the XLA step (correct, slower)
-        from qwen3_asr_tpu.ops.megakernel import mega_max_context
-
-        use_mega = S <= mega_max_context(
-            dec_params["mega"], cfg, kv_i8=cache_dtype == jnp.int8,
-            kv_i4=kv_i4)
     if use_mega:
         # whole-step megakernel (ops/megakernel.py): every decode step is
         # ONE pallas launch (all layers + lm head + argmax), weights
@@ -92,6 +98,7 @@ def generate_greedy(
         # context-proportional cache stream (prefill already wrote int8
         # rows + per-(row, head) scales in the kernel's layout).
         from qwen3_asr_tpu.ops.megakernel import (
+            block_kv_scales,
             mega_decode_step,
             mega_decode_step_i4,
             mega_decode_step_i8,
@@ -117,32 +124,45 @@ def generate_greedy(
                 pos = (n_prompt + i - 1).astype(jnp.int32)
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, ks, vs, _ = mega_decode_step_i4(
-                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs)
+                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs,
+                    kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
 
-            state = (jnp.int32(1), first, k3, v3,
-                     ks.transpose(0, 2, 1), vs.transpose(0, 2, 1), out0)
+            # streamed mode wants block-major scales (block_kv_scales);
+            # resident wants lane = S
+            if kv_stream:
+                ks, vs = block_kv_scales(ks), block_kv_scales(vs)
+            else:
+                ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+            state = (jnp.int32(1), first, k3, v3, ks, vs, out0)
         elif kv_i8:
             def body_m(state):
                 i, token, k3, v3, ks, vs, out = state
                 pos = (n_prompt + i - 1).astype(jnp.int32)
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
-                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs)
+                    dec_params["mega"], cfg, x, pos, k3, v3, ks, vs,
+                    kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
 
-            # prefill wrote [L, S, NKV] scales; the kernel wants the
-            # 128-tiled lane dim to be S
-            state = (jnp.int32(1), first, k3, v3,
-                     cache["k_s"].transpose(0, 2, 1),
-                     cache["v_s"].transpose(0, 2, 1), out0)
+            # prefill wrote [L, S, NKV] scales; the resident kernel wants
+            # the 128-tiled lane dim to be S, the streamed kernel its
+            # block-major layout
+            if kv_stream:
+                ks = block_kv_scales(cache["k_s"])
+                vs = block_kv_scales(cache["v_s"])
+            else:
+                ks = cache["k_s"].transpose(0, 2, 1)
+                vs = cache["v_s"].transpose(0, 2, 1)
+            state = (jnp.int32(1), first, k3, v3, ks, vs, out0)
         else:
             def body_m(state):
                 i, token, k3, v3, out = state
                 pos = (n_prompt + i - 1).astype(jnp.int32)
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, _ = mega_decode_step(
-                    dec_params["mega"], cfg, x, pos, k3, v3)
+                    dec_params["mega"], cfg, x, pos, k3, v3,
+                    kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, out.at[i].set(nxt)
 
             state = (jnp.int32(1), first, k3, v3, out0)
@@ -240,12 +260,14 @@ def decode_chunk(dec_params, cfg, token, pos0, cache, n_steps: int, limit):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "step_name", "interpret"),
+    static_argnames=("cfg", "n_steps", "step_name", "interpret",
+                     "kv_stream"),
     donate_argnames=("kvs",),
 )
 def _decode_chunk_mega_any(dec_params, cfg, token, pos0, kvs,
                            n_steps: int, limit, step_name: str,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           kv_stream: bool = False):
     """decode_chunk through a whole-step megakernel variant. `kvs` is the
     flat cache tuple the step function threads — (k3, v3) for the bf16
     kernel, (k3, v3, ks, vs) for the int8/int4-KV kernels (the step's
@@ -264,7 +286,7 @@ def _decode_chunk_mega_any(dec_params, cfg, token, pos0, kvs,
         i, tok, kvs, out = state
         x = jnp.take(dec_params["token_embd"], tok[None], axis=0)
         res = step(dec_params["mega"], cfg, x, (pos0 + i).astype(jnp.int32),
-                   *kvs, interpret=interpret)
+                   *kvs, interpret=interpret, kv_stream=kv_stream)
         nxt, kvs = res[0], tuple(res[1:-1])
         return i + 1, nxt, kvs, out.at[i].set(nxt)
 
@@ -274,17 +296,19 @@ def _decode_chunk_mega_any(dec_params, cfg, token, pos0, kvs,
 
 
 def decode_chunk_mega(dec_params, cfg, token, pos0, k3, v3,
-                      n_steps: int, limit, interpret: bool = False):
+                      n_steps: int, limit, interpret: bool = False,
+                      kv_stream: bool = False):
     """decode_chunk through the whole-step megakernel (bf16-KV flat
     caches [L, S, DKV]); same (successors, n_generated) contract."""
     out, i, (k3, v3) = _decode_chunk_mega_any(
         dec_params, cfg, token, pos0, (k3, v3), n_steps, limit,
-        "mega_decode_step", interpret)
+        "mega_decode_step", interpret, kv_stream)
     return out, i, k3, v3
 
 
 def decode_chunk_mega_i8(dec_params, cfg, token, pos0, k3, v3, ks, vs,
-                         n_steps: int, limit, interpret: bool = False):
+                         n_steps: int, limit, interpret: bool = False,
+                         kv_stream: bool = False):
     """decode_chunk through the int8-KV megakernel: flat int8 caches
     [L, S, DKV] + per-(row, head) scales [L, NKV, S] (lane dim = S) —
     this is what lets `--kv-int8 --progress` keep the fastest decode
@@ -292,17 +316,19 @@ def decode_chunk_mega_i8(dec_params, cfg, token, pos0, k3, v3, ks, vs,
     §weak-3)."""
     out, i, (k3, v3, ks, vs) = _decode_chunk_mega_any(
         dec_params, cfg, token, pos0, (k3, v3, ks, vs), n_steps, limit,
-        "mega_decode_step_i8", interpret)
+        "mega_decode_step_i8", interpret, kv_stream)
     return out, i, k3, v3, ks, vs
 
 
 def decode_chunk_mega_i4(dec_params, cfg, token, pos0, k3, v3, ks, vs,
-                         n_steps: int, limit, interpret: bool = False):
+                         n_steps: int, limit, interpret: bool = False,
+                         kv_stream: bool = False):
     """decode_chunk through the int4-KV megakernel: nibble-packed caches
-    [L, S/2, DKV] + per-(row, head) scales [L, NKV, S]."""
+    [L, S/2, DKV] + per-(row, head) scales [L, NKV, S] (lane = S resident,
+    block-major `block_kv_scales` layout when kv_stream)."""
     out, i, (k3, v3, ks, vs) = _decode_chunk_mega_any(
         dec_params, cfg, token, pos0, (k3, v3, ks, vs), n_steps, limit,
-        "mega_decode_step_i4", interpret)
+        "mega_decode_step_i4", interpret, kv_stream)
     return out, i, k3, v3, ks, vs
 
 
@@ -334,16 +360,18 @@ def generate_greedy_streaming(
     # int8-KV megakernel scale arrays put S on the 128-tiled lane dim
     align = 128 if use_mega else 8
     S = -(-(P + max_tokens) // align) * align
+    kv_stream = False
     if use_mega:
-        # long-context guard (see generate_greedy): past the kernel's VMEM
-        # budget the chunked XLA step takes over
-        from qwen3_asr_tpu.ops.megakernel import mega_max_context
+        # long contexts switch the megakernel to streamed-KV attention
+        # (VMEM O(1) in S) instead of dropping to the XLA step (see
+        # generate_greedy)
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK, mega_max_context
 
-        use_mega = S <= mega_max_context(
-            dec_params["mega"], cfg, kv_i8=cache_dtype == jnp.int8,
-            kv_i4=kv_i4)
-        if not use_mega:
-            S = -(-(P + max_tokens) // 8) * 8
+        if S > mega_max_context(
+                dec_params["mega"], cfg, kv_i8=cache_dtype == jnp.int8,
+                kv_i4=kv_i4):
+            kv_stream = True
+            S = -(-(P + max_tokens) // KV_BLOCK) * KV_BLOCK
     # int4 KV is megakernel-only: prefill writes the int8 layout (packed
     # below); without the megakernel it just runs as int8
     token, cache = prefill_only(
@@ -352,7 +380,7 @@ def generate_greedy_streaming(
     )
     kv_i8 = cache_dtype == jnp.int8 or (kv_i4 and not use_mega)
     if use_mega:
-        from qwen3_asr_tpu.ops.megakernel import pack_kv_int4
+        from qwen3_asr_tpu.ops.megakernel import block_kv_scales, pack_kv_int4
 
         L = cfg.n_layers
         DKV = cfg.n_kv_heads * cfg.head_dim
@@ -361,11 +389,19 @@ def generate_greedy_streaming(
         if kv_i4:
             k3, ks = pack_kv_int4(k3, cache["k_s"])
             v3, vs = pack_kv_int4(v3, cache["v_s"])
-            ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+            if kv_stream:
+                ks, vs = block_kv_scales(ks), block_kv_scales(vs)
+            else:
+                ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
         elif kv_i8:
-            # prefill wrote [L, S, NKV] scales; the kernel wants lane = S
-            ks = cache["k_s"].transpose(0, 2, 1)
-            vs = cache["v_s"].transpose(0, 2, 1)
+            # prefill wrote [L, S, NKV] scales; the resident kernel wants
+            # lane = S, the streamed one its block-major layout
+            if kv_stream:
+                ks = block_kv_scales(cache["k_s"])
+                vs = block_kv_scales(cache["v_s"])
+            else:
+                ks = cache["k_s"].transpose(0, 2, 1)
+                vs = cache["v_s"].transpose(0, 2, 1)
         cache = None
     out = []
     pos = int(n_prompt)
@@ -388,19 +424,19 @@ def generate_greedy_streaming(
             succ, n, k3, v3, ks, vs = decode_chunk_mega_i4(
                 dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
                 k3, v3, ks, vs, chunk, jnp.int32(limit),
-                interpret=_force_mega_interpret,
+                interpret=_force_mega_interpret, kv_stream=kv_stream,
             )
         elif use_mega and kv_i8:
             succ, n, k3, v3, ks, vs = decode_chunk_mega_i8(
                 dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
                 k3, v3, ks, vs, chunk, jnp.int32(limit),
-                interpret=_force_mega_interpret,
+                interpret=_force_mega_interpret, kv_stream=kv_stream,
             )
         elif use_mega:
             succ, n, k3, v3 = decode_chunk_mega(
                 dec_params, cfg, token, jnp.int32(pos + len(out) - 1),
                 k3, v3, chunk, jnp.int32(limit),
-                interpret=_force_mega_interpret,
+                interpret=_force_mega_interpret, kv_stream=kv_stream,
             )
         else:
             succ, n, cache = decode_chunk(

@@ -48,6 +48,8 @@ CHUNK_OUT = 2048  # max cols per weight chunk
 KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # past `pos` are never streamed — the KV read scales with
                   # the live context, not the allocated cache
+KVSLOTS = 4       # streamed-KV mode: KV ring slots (KV_BLOCK rows each)
+KV_LOOKAHEAD = 2  # streamed-KV mode: block DMAs in flight (< KVSLOTS)
 INT4_GROUP = 512  # int4 mode: rows per (group, out-column) scale — the
                   # finest grouping whose scale rows still fit the existing
                   # [*, 8, co] scale blocks (wd's 3072-row in dim -> 6 rows).
@@ -392,7 +394,7 @@ def _mega_kernel(
     ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
-    kv_blocks, kv_i8: bool, kv_i4: bool, w4: bool,
+    kv_blocks, kv_i8: bool, kv_i4: bool, w4: bool, kv_stream: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -465,63 +467,105 @@ def _mega_kernel(
                     head_scale_dma(wrapped, slot).start()
 
     # KV streaming is block-gated on `pos`: only KV_BLOCK-row blocks whose
-    # start row is below the live context length move over HBM. Uncovered
-    # blocks are zeroed once at warmup (VMEM scratch is undefined — a
-    # non-finite garbage V row would turn the masked `0 * v` term into NaN).
+    # start row is below the live context length move over HBM.
+    #
+    # Two modes:
+    #  * resident (kv_stream=False): the whole [S, DKV] K/V slab sits in
+    #    VMEM; blocks never DMA'd (past pos) are zeroed once at warmup
+    #    (VMEM scratch is undefined — a non-finite garbage V row would
+    #    turn the masked `0 * v` term into NaN). VMEM grows with S.
+    #  * streamed (kv_stream=True): K/V ride a KVSLOTS ring of KV_BLOCK-row
+    #    tiles and attention folds each tile with an online softmax —
+    #    VMEM is O(1) in S, so any context length fits (flash-decoding
+    #    structure). Cache scales use a block-major [L, NB, NKV, KVB]
+    #    layout here: the dynamic block index then lands on an UNTILED
+    #    dim and each DMA moves a lane-aligned [NKV, 256] tile (Mosaic
+    #    rejects dynamic lane offsets AND sub-128 lane extents — the
+    #    prefill-native [L, S, NKV] layout fails both ways).
     n_kvb = len(kv_blocks)
 
     kv_streams = [(k_in, kbuf, "rows"), (v_in, vbuf, "rows")]
     if kv_i8:
         kv_streams += [(ks_in, ksbuf, "scales"), (vs_in, vsbuf, "scales")]
 
-    def kv_copy(l, which, b):
-        sb, cb = kv_blocks[b]
-        src_hbm, dst_vmem, kind = kv_streams[which]
-        if kind == "rows":     # [L, S, DKV]: slice the sublane (row) dim
-            if kv_i4:          # nibble-packed pairs: half the byte rows
-                sb, cb = sb // 2, cb // 2
-            src = src_hbm.at[l, pl.ds(sb, cb), :]
-            dst = dst_vmem.at[pl.ds(sb, cb), :]
-        else:                  # scales [L, NKV, S]: slice the lane dim
-            src = src_hbm.at[l, :, pl.ds(sb, cb)]
-            dst = dst_vmem.at[:, pl.ds(sb, cb)]
-        return pltpu.make_async_copy(src, dst, kv_sems.at[which, b])
+    if kv_stream:
+        KVB = KV_BLOCK
+        # blocks holding any live row (< pos); pos >= 1 in decode
+        nlive = (pos + (KVB - 1)) // KVB
 
-    def kv_start(l):
-        for b in range(n_kvb):
-            sb, _ = kv_blocks[b]
+        def kv_copy_s(l, which, b, slot):
+            src_hbm, dst_vmem, kind = kv_streams[which]
+            if kind == "rows":
+                rb, rc = (b * (KVB // 2), KVB // 2) if kv_i4 else (b * KVB,
+                                                                   KVB)
+                src = src_hbm.at[l, pl.ds(rb, rc), :]
+            else:              # scales [L, NB, NKV, KVB]: block-major
+                src = src_hbm.at[l, b]
+            return pltpu.make_async_copy(
+                src, dst_vmem.at[slot], kv_sems.at[which, slot])
 
-            @pl.when(sb < pos)
-            def _():
-                for w in range(len(kv_streams)):
-                    kv_copy(l, w, b).start()
+        def kv_start_blk(l, b):
+            slot = jax.lax.rem(b, KVSLOTS)
+            for w in range(len(kv_streams)):
+                kv_copy_s(l, w, b, slot).start()
 
-    def kv_wait(l):
-        for b in range(n_kvb):
-            sb, _ = kv_blocks[b]
+        def kv_warmup(l):
+            for j in range(KV_LOOKAHEAD):
+                @pl.when(j < nlive)
+                def _():
+                    kv_start_blk(l, jnp.int32(j))
+    else:
+        def kv_copy(l, which, b):
+            sb, cb = kv_blocks[b]
+            src_hbm, dst_vmem, kind = kv_streams[which]
+            if kind == "rows":  # [L, S, DKV]: slice the sublane (row) dim
+                if kv_i4:       # nibble-packed pairs: half the byte rows
+                    sb, cb = sb // 2, cb // 2
+                src = src_hbm.at[l, pl.ds(sb, cb), :]
+                dst = dst_vmem.at[pl.ds(sb, cb), :]
+            else:               # scales [L, NKV, S]: slice the lane dim
+                src = src_hbm.at[l, :, pl.ds(sb, cb)]
+                dst = dst_vmem.at[:, pl.ds(sb, cb)]
+            return pltpu.make_async_copy(src, dst, kv_sems.at[which, b])
 
-            @pl.when(sb < pos)
-            def _():
-                for w in range(len(kv_streams)):
-                    kv_copy(l, w, b).wait()
+        def kv_start(l):
+            for b in range(n_kvb):
+                sb, _ = kv_blocks[b]
+
+                @pl.when(sb < pos)
+                def _():
+                    for w in range(len(kv_streams)):
+                        kv_copy(l, w, b).start()
+
+        def kv_wait(l):
+            for b in range(n_kvb):
+                sb, _ = kv_blocks[b]
+
+                @pl.when(sb < pos)
+                def _():
+                    for w in range(len(kv_streams)):
+                        kv_copy(l, w, b).wait()
 
     # ---- warmup: first LOOKAHEAD chunks of layer 0 + layer 0's K/V ------
     for j in range(min(LOOKAHEAD, n_sched)):
         start(j, 0)
-    for b in range(n_kvb):
-        sb, cb = kv_blocks[b]
+    if kv_stream:
+        kv_warmup(0)
+    else:
+        for b in range(n_kvb):
+            sb, cb = kv_blocks[b]
 
-        @pl.when(sb >= pos)
-        def _():
-            for _, dst, kind in kv_streams:
-                if kind == "rows":
-                    rb, rc = (sb // 2, cb // 2) if kv_i4 else (sb, cb)
-                    dst[rb:rb + rc, :] = jnp.zeros(
-                        (rc, dst.shape[-1]), dst.dtype)
-                else:
-                    dst[:, sb:sb + cb] = jnp.zeros(
-                        (dst.shape[0], cb), dst.dtype)
-    kv_start(0)
+            @pl.when(sb >= pos)
+            def _():
+                for _, dst, kind in kv_streams:
+                    if kind == "rows":
+                        rb, rc = (sb // 2, cb // 2) if kv_i4 else (sb, cb)
+                        dst[rb:rb + rc, :] = jnp.zeros(
+                            (rc, dst.shape[-1]), dst.dtype)
+                    else:
+                        dst[:, sb:sb + cb] = jnp.zeros(
+                            (dst.shape[0], cb), dst.dtype)
+        kv_start(0)
 
     def stream_matmul(l, mat, xq, sx, j0):
         """Consume this matmul's chunks from the schedule starting at j0;
@@ -599,8 +643,6 @@ def _mega_kernel(
         qkv = qkv_f32.astype(jnp.bfloat16)  # match the XLA path's cast
 
         # --- attention over the HBM cache (math = ops/decode_attention.py)
-        kv_wait(l)
-
         rows = qkv.reshape(NH + 2 * NKV, D)
         q_all = _rope_row(
             _rms_f32(rows[:NH, :], norms[l, 2:3, 0:D], eps), pos,
@@ -610,52 +652,139 @@ def _mega_kernel(
             pos, theta)
         v_all = rows[NH + NKV:, :].astype(jnp.float32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
-        valid = col < pos
-        attn_heads = []
-        for h in range(NKV):  # static unroll
-            q = q_all[h * group:(h + 1) * group, :]
-            if kv_i4:
-                # packed [S/2, D] bytes -> [S, D] int4 (interleaved-lo-
-                # first = adjacent cache rows) -> f32. The int8 path
-                # already pays the int->f32 upcast, so this unpack adds
-                # only the (free) sublane bitcast.
-                kc = pltpu.bitcast(
-                    kbuf[:, h * D:(h + 1) * D], jnp.int4
-                ).astype(jnp.float32)
-            else:
-                kc = kbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
-            s_cache = jax.lax.dot_general(
-                q, kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if kv_i8:
-                # int8 K rows: the per-row scale applies per score COLUMN
-                # ([1, S] lane broadcast) — cheaper than dequantizing the
-                # whole [S, D] block before the dot
-                s_cache = s_cache * ksbuf[h:h + 1, :]
-            s_cache = jnp.where(valid, s_cache, _NEG)
-            k_fresh = k_all[h:h + 1, :]
-            s_fresh = jax.lax.dot_general(
-                q, k_fresh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m = jnp.maximum(jnp.max(s_cache, axis=1, keepdims=True), s_fresh)
-            p_cache = jnp.exp(s_cache - m)
-            p_fresh = jnp.exp(s_fresh - m)
-            denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
-            if kv_i4:
-                vc = pltpu.bitcast(
-                    vbuf[:, h * D:(h + 1) * D], jnp.int4
-                ).astype(jnp.float32)
-            else:
-                vc = vbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
-            if kv_i8:
-                # fold the V row scales into the probabilities instead of
-                # dequantizing the [S, D] value block
-                p_cache = p_cache * vsbuf[h:h + 1, :]
-            o = jax.lax.dot_general(p_cache, vc, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            attn_heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
-        attn = jnp.concatenate(attn_heads, axis=0).reshape(1, DQ)
+        if kv_stream:
+            # online softmax over KV_BLOCK tiles (flash-decoding): fold
+            # each streamed tile into running (m, den, acc) per q head.
+            # The loop bound is the LIVE block count, so both HBM traffic
+            # and score compute scale with pos, not the allocated S.
+            KVB = KV_BLOCK
+
+            def blk(b, carry):
+                m, den, acc = carry      # [NH,1], [NH,1], [NH,D] f32
+                slot = jax.lax.rem(b, KVSLOTS)
+                for w in range(len(kv_streams)):
+                    kv_copy_s(l, w, b, slot).wait()
+
+                @pl.when(b + KV_LOOKAHEAD < nlive)
+                def _():
+                    kv_start_blk(l, b + KV_LOOKAHEAD)
+
+                if kv_i4:
+                    kblk = pltpu.bitcast(kbuf[slot], jnp.int4)
+                    vblk = pltpu.bitcast(vbuf[slot], jnp.int4)
+                else:
+                    kblk, vblk = kbuf[slot], vbuf[slot]   # [KVB, DKV]
+                if kv_i8:
+                    # block-major tiles land as [NKV, KVB]: row h is head
+                    # h's per-score-column scales, no in-kernel transpose
+                    kst = ksbuf[slot]
+                    vst = vsbuf[slot]
+                col = b * KVB + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, KVB), 1)
+                valid = col < pos
+                ms, dens, accs = [], [], []
+                for h in range(NKV):  # static unroll
+                    q = q_all[h * group:(h + 1) * group, :]
+                    kc = kblk[:, h * D:(h + 1) * D].astype(jnp.float32)
+                    s = jax.lax.dot_general(
+                        q, kc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if kv_i8:
+                        s = s * kst[h:h + 1, :]
+                    s = jnp.where(valid, s, _NEG)
+                    mh = m[h * group:(h + 1) * group, :]
+                    m_new = jnp.maximum(
+                        mh, jnp.max(s, axis=1, keepdims=True))
+                    corr = jnp.exp(mh - m_new)
+                    p = jnp.exp(s - m_new)               # [group, KVB]
+                    den_new = (den[h * group:(h + 1) * group, :] * corr
+                               + jnp.sum(p, axis=1, keepdims=True))
+                    if kv_i8:
+                        # fold V row scales into the probs for the V dot
+                        # (the denominator above uses the UNSCALED sum)
+                        p = p * vst[h:h + 1, :]
+                    vc = vblk[:, h * D:(h + 1) * D].astype(jnp.float32)
+                    o = jax.lax.dot_general(
+                        p, vc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    accs.append(acc[h * group:(h + 1) * group, :] * corr + o)
+                    ms.append(m_new)
+                    dens.append(den_new)
+                return (jnp.concatenate(ms, axis=0),
+                        jnp.concatenate(dens, axis=0),
+                        jnp.concatenate(accs, axis=0))
+
+            m0 = jnp.full((NH, 1), _NEG, jnp.float32)
+            den0 = jnp.zeros((NH, 1), jnp.float32)
+            acc0 = jnp.zeros((NH, D), jnp.float32)
+            m, den, acc = jax.lax.fori_loop(0, nlive, blk, (m0, den0, acc0))
+
+            # fresh K/V column folds in last (one more online-softmax step)
+            attn_heads = []
+            for h in range(NKV):
+                q = q_all[h * group:(h + 1) * group, :]
+                s_f = jax.lax.dot_general(
+                    q, k_all[h:h + 1, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                mh = m[h * group:(h + 1) * group, :]
+                m_f = jnp.maximum(mh, s_f)
+                corr = jnp.exp(mh - m_f)
+                p_f = jnp.exp(s_f - m_f)
+                denom = den[h * group:(h + 1) * group, :] * corr + p_f
+                o = (acc[h * group:(h + 1) * group, :] * corr
+                     + p_f * v_all[h:h + 1, :])
+                attn_heads.append(o / denom)
+            attn = jnp.concatenate(attn_heads, axis=0).reshape(1, DQ)
+        else:
+            kv_wait(l)
+            col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
+            valid = col < pos
+            attn_heads = []
+            for h in range(NKV):  # static unroll
+                q = q_all[h * group:(h + 1) * group, :]
+                if kv_i4:
+                    # packed [S/2, D] bytes -> [S, D] int4 (interleaved-lo-
+                    # first = adjacent cache rows) -> f32. The int8 path
+                    # already pays the int->f32 upcast, so this unpack adds
+                    # only the (free) sublane bitcast.
+                    kc = pltpu.bitcast(
+                        kbuf[:, h * D:(h + 1) * D], jnp.int4
+                    ).astype(jnp.float32)
+                else:
+                    kc = kbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
+                s_cache = jax.lax.dot_general(
+                    q, kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if kv_i8:
+                    # int8 K rows: the per-row scale applies per score
+                    # COLUMN ([1, S] lane broadcast) — cheaper than
+                    # dequantizing the whole [S, D] block before the dot
+                    s_cache = s_cache * ksbuf[h:h + 1, :]
+                s_cache = jnp.where(valid, s_cache, _NEG)
+                k_fresh = k_all[h:h + 1, :]
+                s_fresh = jax.lax.dot_general(
+                    q, k_fresh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = jnp.maximum(
+                    jnp.max(s_cache, axis=1, keepdims=True), s_fresh)
+                p_cache = jnp.exp(s_cache - m)
+                p_fresh = jnp.exp(s_fresh - m)
+                denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
+                if kv_i4:
+                    vc = pltpu.bitcast(
+                        vbuf[:, h * D:(h + 1) * D], jnp.int4
+                    ).astype(jnp.float32)
+                else:
+                    vc = vbuf[:, h * D:(h + 1) * D].astype(jnp.float32)
+                if kv_i8:
+                    # fold the V row scales into the probabilities instead
+                    # of dequantizing the [S, D] value block
+                    p_cache = p_cache * vsbuf[h:h + 1, :]
+                o = jax.lax.dot_general(
+                    p_cache, vc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attn_heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
+            attn = jnp.concatenate(attn_heads, axis=0).reshape(1, DQ)
 
         # fresh K/V rows land in the aligned [L, 8, DKV] output; the caller
         # scatters row 0 of each block into the cache at `pos`
@@ -699,7 +828,10 @@ def _mega_kernel(
         # next layer's K/V stream starts as early as possible
         @pl.when(l + 1 < L)
         def _():
-            kv_start(l + 1)
+            if kv_stream:
+                kv_warmup(l + 1)
+            else:
+                kv_start(l + 1)
 
         return h1 + wd_f32.astype(jnp.bfloat16)
 
@@ -826,10 +958,11 @@ def _mega_call(
     pos: jax.Array,      # scalar int32 — cache row / RoPE position
     k_cache: jax.Array,  # [L, S, DKV] bf16 or int8 (flattened heads)
     v_cache: jax.Array,
-    k_scale,             # [L, S, NKV] f32 cache scales (int8) or None
-    v_scale,
+    k_scale,             # f32 cache scales (int8 mode) or None —
+    v_scale,             # [L, NKV, S] resident / [L, S, NKV] kv_stream
     interpret: bool,
     kv_i4: bool = False,
+    kv_stream: bool = False,
 ):
     """Shared pallas_call builder. The kernel emits the fresh per-layer K/V
     rows (+ scales in int8 mode) and the caller scatters them into the
@@ -841,7 +974,14 @@ def _mega_call(
     f32. The cache stream halves again vs int8; the kernel's fresh rows
     come back as unpacked int4 values and are merged into the packed byte
     row here (a [L, 1, DKV] read-modify-write — XLA handles int8 shifts
-    fine; only Mosaic rejects them)."""
+    fine; only Mosaic rejects them).
+
+    kv_stream: streamed-KV attention — K/V tiles ride a KVSLOTS ring with
+    an online softmax, so VMEM is O(1) in S and ANY context length fits
+    (the resident mode tops out at mega_max_context). Needs S to be a
+    KV_BLOCK multiple, and cache scales in the block-major
+    [L, NB, NKV, KV_BLOCK] layout (block_kv_scales) so per-block DMA
+    slices index an untiled dim with lane-aligned tiles."""
     kv_i8 = k_cache.dtype == jnp.int8
     if kv_i4 and not kv_i8:
         raise ValueError("kv_i4 expects nibble-packed int8 caches")
@@ -877,10 +1017,15 @@ def _mega_call(
         sb += cb
     kv_blocks = tuple(kv_blocks)
 
+    if kv_stream and S % KV_BLOCK:
+        raise ValueError(
+            f"streamed-KV megakernel needs S % {KV_BLOCK} == 0 (got {S}): "
+            "the block fori_loop slices uniform KV_BLOCK tiles")
+
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
         n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8,
-        kv_i4=kv_i4, w4=w4)
+        kv_i4=kv_i4, w4=w4, kv_stream=kv_stream)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -891,13 +1036,24 @@ def _mega_call(
                 f"int8-KV megakernel needs S % 128 == 0 (got {S}): the "
                 "scale arrays' lane dim is S and Mosaic DMA slices must "
                 "be 128-aligned")
-        ks_in, vs_in = k_scale, v_scale     # [L, NKV, S]
-        scale_buf_shape = (NKV, S)
+        ks_in, vs_in = k_scale, v_scale  # [L,NKV,S] / blocked (stream)
+        if kv_stream:
+            if k_scale.shape != (L, S // KV_BLOCK, NKV, KV_BLOCK):
+                raise ValueError(
+                    f"kv_stream expects block-major [L, NB, NKV, "
+                    f"{KV_BLOCK}] cache scales (block_kv_scales), got "
+                    f"{k_scale.shape}")
+            scale_buf_shape = (KVSLOTS, NKV, KV_BLOCK)
+        else:
+            scale_buf_shape = (NKV, S)
     else:
         # dummies: never DMA'd, minimal footprint
         ks_in = jnp.zeros((1, NKV, 8), jnp.float32)
         vs_in = ks_in
-        scale_buf_shape = (NKV, 8)
+        scale_buf_shape = ((KVSLOTS, NKV, 8) if kv_stream else (NKV, 8))
+    kv_buf_shape = ((KVSLOTS, KV_BLOCK // 2 if kv_i4 else KV_BLOCK, DKV)
+                    if kv_stream else (Sp, DKV))
+    kv_sem_shape = (4, KVSLOTS if kv_stream else len(kv_blocks))
 
     tok, h_dbg, fresh_k, fresh_v, fresh_ks, fresh_vs = pl.pallas_call(
         kernel,
@@ -924,13 +1080,13 @@ def _mega_call(
         scratch_shapes=[
             pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),  # weight ring
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
-            pltpu.VMEM((Sp, DKV), k_cache.dtype),
-            pltpu.VMEM((Sp, DKV), v_cache.dtype),
+            pltpu.VMEM(kv_buf_shape, k_cache.dtype),
+            pltpu.VMEM(kv_buf_shape, v_cache.dtype),
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # k scales
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # v scales
             pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
             pltpu.SemaphoreType.DMA((NBUF,)),               # scale sems
-            pltpu.SemaphoreType.DMA((4, len(kv_blocks))),   # k/v sems
+            pltpu.SemaphoreType.DMA(kv_sem_shape),          # k/v sems
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -972,17 +1128,27 @@ def _mega_call(
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, fresh_v[:, :1, :], (0, p, 0))
     if kv_i8:
-        # fresh scales: [L, 8, NKV] row 0 -> column `pos` of [L, NKV, S]
-        k_scale = jax.lax.dynamic_update_slice(
-            k_scale, fresh_ks[:, 0, :, None], (0, 0, p))
-        v_scale = jax.lax.dynamic_update_slice(
-            v_scale, fresh_vs[:, 0, :, None], (0, 0, p))
+        if kv_stream:
+            # fresh scales: [L, 8, NKV] row 0 -> element (pos//KVB, :,
+            # pos%KVB) of the block-major [L, NB, NKV, KVB] layout
+            z = jnp.int32(0)
+            idx = (z, p // KV_BLOCK, z, p % KV_BLOCK)
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, fresh_ks[:, 0, :].reshape(L, 1, NKV, 1), idx)
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, fresh_vs[:, 0, :].reshape(L, 1, NKV, 1), idx)
+        else:
+            # fresh scales: [L, 8, NKV] row 0 -> col `pos` of [L, NKV, S]
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, fresh_ks[:, 0, :, None], (0, 0, p))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, fresh_vs[:, 0, :, None], (0, 0, p))
     return tok[0, 0], k_cache, v_cache, k_scale, v_scale, h_dbg
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret"),
+    static_argnames=("cfg", "interpret", "kv_stream"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def mega_decode_step(
@@ -993,16 +1159,18 @@ def mega_decode_step(
     k_cache: jax.Array,  # [L, S, DKV] bf16
     v_cache: jax.Array,
     interpret: bool = False,
+    kv_stream: bool = False,
 ):
     """bf16-KV decode step -> (next_token, k_cache, v_cache, h_dbg)."""
     tok, k_cache, v_cache, _, _, h = _mega_call(
-        mega, cfg, x, pos, k_cache, v_cache, None, None, interpret)
+        mega, cfg, x, pos, k_cache, v_cache, None, None, interpret,
+        kv_stream=kv_stream)
     return tok, k_cache, v_cache, h
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret"),
+    static_argnames=("cfg", "interpret", "kv_stream"),
     donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
 )
 def mega_decode_step_i8(
@@ -1014,20 +1182,23 @@ def mega_decode_step_i8(
     v_cache: jax.Array,
     k_scale: jax.Array,  # [L, NKV, S] f32 per-(row, head) scales,
                          # transposed so the lane dim (S) is 128-tiled
+                         # (kv_stream: block-major, see block_kv_scales)
     v_scale: jax.Array,
     interpret: bool = False,
+    kv_stream: bool = False,
 ):
     """int8-KV decode step: the cache stream (the context-length-
     proportional term of the step's HBM traffic) is halved; rows carry
     per-(row, head) f32 scales. -> (next_token, k_cache, v_cache,
     k_scale, v_scale, h_dbg)."""
     return _mega_call(
-        mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret)
+        mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
+        kv_stream=kv_stream)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret"),
+    static_argnames=("cfg", "interpret", "kv_stream"),
     donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
 )
 def mega_decode_step_i4(
@@ -1040,6 +1211,7 @@ def mega_decode_step_i4(
     k_scale: jax.Array,  # [L, NKV, S] f32 per-(row, head) scales
     v_scale: jax.Array,
     interpret: bool = False,
+    kv_stream: bool = False,
 ):
     """int4-KV decode step: the context-proportional cache stream drops to
     a QUARTER of the bf16 bytes. Adjacent cache rows share a byte (row 2r
@@ -1050,7 +1222,27 @@ def mega_decode_step_i4(
     v_cache, k_scale, v_scale, h_dbg)."""
     return _mega_call(
         mega, cfg, x, pos, k_cache, v_cache, k_scale, v_scale, interpret,
-        kv_i4=True)
+        kv_i4=True, kv_stream=kv_stream)
+
+
+def block_kv_scales(scale: jax.Array) -> jax.Array:
+    """Prefill-native [L, S, NKV] cache scales -> the streamed-KV
+    kernel's block-major [L, S//KV_BLOCK, NKV, KV_BLOCK] layout. The
+    dynamic per-block DMA index then lands on an untiled dim and each
+    tile is a lane-aligned [NKV, 256] slab (Mosaic rejects dynamic lane
+    offsets and sub-128 lane extents, so neither [L, NKV, S] nor
+    [L, S, NKV] can be sliced per-block directly)."""
+    L, S, NKV = scale.shape
+    if S % KV_BLOCK:
+        raise ValueError(f"S={S} must be a multiple of {KV_BLOCK}")
+    return (scale.reshape(L, S // KV_BLOCK, KV_BLOCK, NKV)
+            .transpose(0, 1, 3, 2))
+
+
+def unblock_kv_scales(scale: jax.Array) -> jax.Array:
+    """Inverse of block_kv_scales: [L, NB, NKV, KVB] -> [L, S, NKV]."""
+    L, NB, NKV, KVB = scale.shape
+    return scale.transpose(0, 1, 3, 2).reshape(L, NB * KVB, NKV)
 
 
 @jax.jit

@@ -365,9 +365,9 @@ class Qwen3ASR:
             if S_spec > mega_max_context(self.params["decoder"]["mega"],
                                          dcfg, kv_i8=True):
                 # past the draft stream's VMEM budget: the plain decode
-                # path produces the same int8pc greedy sequence (it falls
-                # back to the XLA step at this length too) — degrade to
-                # it instead of failing the transcription
+                # path produces the same int8pc greedy sequence (at this
+                # length it rides the streamed-KV megakernel) — degrade
+                # to it instead of failing the transcription
                 print("Note: spec_k disabled for this audio length "
                       "(context exceeds the megakernel's VMEM budget); "
                       "using the plain decode path.",
