@@ -48,8 +48,12 @@ CHUNK_OUT = 2048  # max cols per weight chunk
 KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # past `pos` are never streamed — the KV read scales with
                   # the live context, not the allocated cache
-KVSLOTS = 4       # streamed-KV mode: KV ring slots (KV_BLOCK rows each)
-KV_LOOKAHEAD = 2  # streamed-KV mode: block DMAs in flight (< KVSLOTS)
+KVSLOTS = 8       # streamed-KV mode: KV ring slots (KV_BLOCK rows each)
+KV_LOOKAHEAD = 6  # streamed-KV mode: block DMAs in flight (< KVSLOTS)
+                  # geometry swept on chip (scripts/tune_mega_stream.py):
+                  # (4,2)/(4,3)/(8,4)/(8,6) all within ~1% — the fold is
+                  # not prefetch-bound; (8,6) measured best and the ring
+                  # (~4 MB) only exists when the resident slabs don't fit
 INT4_GROUP = 512  # int4 mode: rows per (group, out-column) scale — the
                   # finest grouping whose scale rows still fit the existing
                   # [*, 8, co] scale blocks (wd's 3072-row in dim -> 6 rows).
