@@ -30,7 +30,8 @@ from qwen3_asr_tpu.models.decoder import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "audio_offset", "max_tokens", "cache_dtype"),
+    static_argnames=("cfg", "audio_offset", "max_tokens", "cache_dtype",
+                     "_force_mega_interpret"),
 )
 def generate_greedy(
     dec_params: dict,
@@ -42,11 +43,15 @@ def generate_greedy(
     audio_offset: int,        # static: index of first audio_pad token
     max_tokens: int,          # static: generation budget
     cache_dtype=jnp.bfloat16,
+    _force_mega_interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out_tokens [max_tokens] int32, n_generated scalar).
 
     out_tokens[i] for i >= n_generated is undefined filler; EOS is not
     included (the reference pops it, qwen3_asr.cpp:298-300).
+
+    `_force_mega_interpret` routes through the megakernel in Pallas
+    interpret mode (tests on CPU).
     """
     P = tokens.shape[0]
     # 128-aligned for the megakernel's DMA slices (the int8-KV scale
@@ -62,7 +67,7 @@ def generate_greedy(
 
     use_mega = ("mega" in dec_params
                 and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
-                and has_pallas_tpu())
+                and (has_pallas_tpu() or _force_mega_interpret))
     kv_stream = False
     if use_mega:
         # long contexts: past the resident kernel's VMEM budget the
@@ -125,7 +130,7 @@ def generate_greedy(
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, ks, vs, _ = mega_decode_step_i4(
                     dec_params["mega"], cfg, x, pos, k3, v3, ks, vs,
-                    kv_stream=kv_stream)
+                    interpret=_force_mega_interpret, kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
 
             # streamed mode wants block-major scales (block_kv_scales);
@@ -142,7 +147,7 @@ def generate_greedy(
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, ks, vs, _ = mega_decode_step_i8(
                     dec_params["mega"], cfg, x, pos, k3, v3, ks, vs,
-                    kv_stream=kv_stream)
+                    interpret=_force_mega_interpret, kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, ks, vs, out.at[i].set(nxt)
 
             # prefill wrote [L, S, NKV] scales; the resident kernel wants
@@ -162,7 +167,7 @@ def generate_greedy(
                 x = jnp.take(dec_params["token_embd"], token[None], axis=0)
                 nxt, k3, v3, _ = mega_decode_step(
                     dec_params["mega"], cfg, x, pos, k3, v3,
-                    kv_stream=kv_stream)
+                    interpret=_force_mega_interpret, kv_stream=kv_stream)
                 return i + 1, nxt, k3, v3, out.at[i].set(nxt)
 
             state = (jnp.int32(1), first, k3, v3, out0)

@@ -174,6 +174,37 @@ def test_stream_ring_wraparound(setup):
     assert int(tok_s) == int(tok_r)
 
 
+@pytest.mark.parametrize("cache_dtype", [jnp.bfloat16, jnp.int8])
+def test_generate_greedy_long_context_selects_kv_stream(
+        setup, monkeypatch, cache_dtype):
+    """Same selection check for the whole-loop generate_greedy (one jit,
+    lax.while_loop decode): past mega_max_context it stays on the
+    megakernel in streamed mode and emits the resident path's tokens."""
+    import qwen3_asr_tpu.models.generate as gen
+    import qwen3_asr_tpu.ops.megakernel as mk
+
+    cfg, dec, mega = setup
+    dec = dict(dec)
+    dec["mega"] = mega
+    rng = np.random.default_rng(7)
+    P, max_tokens = 16, 6
+    toks = np.zeros(P, np.int32)
+    n_prompt = 12
+    toks[:n_prompt] = rng.integers(1, 200, size=n_prompt)
+
+    def run():
+        gen.generate_greedy.clear_cache()  # selection isn't a jit key
+        out, n = gen.generate_greedy(
+            dec, cfg, jnp.asarray(toks), jnp.int32(n_prompt), None,
+            jnp.int32(0), 0, max_tokens, cache_dtype=cache_dtype,
+            _force_mega_interpret=True)
+        return np.asarray(out)[:int(n)].tolist()
+
+    base = run()
+    monkeypatch.setattr(mk, "mega_max_context", lambda *a, **k: 0)
+    assert run() == base
+
+
 def test_streaming_long_context_selects_kv_stream(setup, monkeypatch):
     """When S exceeds mega_max_context, generate_greedy_streaming stays on
     the megakernel in streamed mode (instead of the old XLA fallback) and
