@@ -494,8 +494,11 @@ def _mega_kernel(
 
     if kv_stream:
         KVB = KV_BLOCK
-        # blocks holding any live row (< pos); pos >= 1 in decode
-        nlive = (pos + (KVB - 1)) // KVB
+        # blocks holding any live row (< pos); pos >= 1 in decode. The
+        # clamp keeps a runaway pos (caller bug) attending over the
+        # whole cache like the resident mode would, instead of DMA-ing
+        # past the end of the HBM arrays.
+        nlive = jnp.minimum((pos + (KVB - 1)) // KVB, S // KVB)
 
         def kv_copy_s(l, which, b, slot):
             src_hbm, dst_vmem, kind = kv_streams[which]
@@ -929,14 +932,16 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
                      kv_i8: bool, kv_i4: bool = False) -> int:
     """Largest KV length S the single-sequence megakernel fits in VMEM.
 
-    The kernel keeps the WHOLE per-layer K/V slab resident ([S, DKV] each,
-    int8 or bf16, halved again when nibble-packed) plus the weight/scale
-    rings — so its VMEM footprint grows linearly in S and overflows for
-    long audio (~6k rows at 0.6B hparams with int8 KV ≈ 368 s + 1.3k
-    generated tokens). Callers gate `use_mega` on this and fall back to
-    the XLA decode step (correct, slower) past it. Mirrors _mega_call's
-    scratch arithmetic; rounded DOWN to the 128-row alignment the int8-KV
-    scale DMA needs."""
+    The resident mode keeps the WHOLE per-layer K/V slab in VMEM
+    ([S, DKV] each, int8 or bf16, halved again when nibble-packed) plus
+    the weight/scale rings — so its VMEM footprint grows linearly in S
+    and overflows for long audio (3,584 rows at 0.6B hparams with int8
+    KV under the calibrated budget ≈ 215 s + generated tokens). Past it,
+    single-sequence callers switch the SAME kernel to streamed-KV mode
+    (`kv_stream=True`, VMEM O(1) in S) rather than leaving the
+    megakernel; only the batched kernel still falls back to the XLA
+    step. Mirrors _mega_call's scratch arithmetic; rounded DOWN to the
+    128-row alignment the int8-KV scale DMA needs."""
     H = cfg.hidden_size
     NKV = cfg.n_kv_heads
     DKV = NKV * cfg.head_dim
@@ -963,7 +968,9 @@ def _mega_call(
     k_cache: jax.Array,  # [L, S, DKV] bf16 or int8 (flattened heads)
     v_cache: jax.Array,
     k_scale,             # f32 cache scales (int8 mode) or None —
-    v_scale,             # [L, NKV, S] resident / [L, S, NKV] kv_stream
+    v_scale,             # [L, NKV, S] resident / block-major
+                         # [L, S//KV_BLOCK, NKV, KV_BLOCK] kv_stream
+                         # (block_kv_scales)
     interpret: bool,
     kv_i4: bool = False,
     kv_stream: bool = False,
@@ -1025,6 +1032,11 @@ def _mega_call(
         raise ValueError(
             f"streamed-KV megakernel needs S % {KV_BLOCK} == 0 (got {S}): "
             "the block fori_loop slices uniform KV_BLOCK tiles")
+    if kv_stream and not KV_LOOKAHEAD < KVSLOTS:
+        # in-flight DMAs beyond the ring would share a slot/semaphore
+        # with a block still being consumed — silent wrong attention
+        raise ValueError(
+            f"KV_LOOKAHEAD ({KV_LOOKAHEAD}) must be < KVSLOTS ({KVSLOTS})")
 
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
@@ -1042,11 +1054,12 @@ def _mega_call(
                 "be 128-aligned")
         ks_in, vs_in = k_scale, v_scale  # [L,NKV,S] / blocked (stream)
         if kv_stream:
-            if k_scale.shape != (L, S // KV_BLOCK, NKV, KV_BLOCK):
+            want = (L, S // KV_BLOCK, NKV, KV_BLOCK)
+            if k_scale.shape != want or v_scale.shape != want:
                 raise ValueError(
                     f"kv_stream expects block-major [L, NB, NKV, "
                     f"{KV_BLOCK}] cache scales (block_kv_scales), got "
-                    f"{k_scale.shape}")
+                    f"k={k_scale.shape} v={v_scale.shape}")
             scale_buf_shape = (KVSLOTS, NKV, KV_BLOCK)
         else:
             scale_buf_shape = (NKV, S)

@@ -59,8 +59,11 @@ def run(S, pos0, label):
 
 for slots, la in [(4, 2), (4, 3), (8, 4), (8, 6)]:
     mk.KVSLOTS, mk.KV_LOOKAHEAD = slots, la
-    # bust the jit cache: kv_stream kernels close over module globals, so
-    # re-jit by clearing the wrapped function's cache
+    # bust the jit caches: kv_stream kernels close over module globals, so
+    # re-jit by clearing every step wrapper's cache (this script only
+    # calls the i8 step, but keep the others honest if extended)
+    mk.mega_decode_step.clear_cache()
     mk.mega_decode_step_i8.clear_cache()
+    mk.mega_decode_step_i4.clear_cache()
     run(1792, 1219, f"slots={slots} la={la}  92s ")
     run(4096, 4096 - N - 8, f"slots={slots} la={la}  long")
