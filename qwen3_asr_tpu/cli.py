@@ -77,6 +77,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "int4 stream (--quantize int4, the fastest "
                         "config); use only when int8pc-exact output is "
                         "required. 0 = off (default)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="Sampled decoding temperature (0 = greedy, the "
+                        "reference's only mode). >0 draws tokens from the "
+                        "softmax — a serving-surface extension mirroring "
+                        "the OpenAI transcription API")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="With --temperature: keep only the K most likely "
+                        "tokens before sampling (0 = no filter)")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="With --temperature: nucleus sampling — keep the "
+                        "smallest set of tokens whose probability mass "
+                        "reaches P (1.0 = no filter)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="PRNG seed for --temperature sampling (same seed "
+                        "=> same transcript)")
     p.add_argument("--fused", action="store_true", default=True,
                    help="Run each pipeline leg as ONE fused device program "
                         "(default; the benchmarked-fastest path)")
@@ -171,6 +186,10 @@ def main(argv: list[str] | None = None) -> int:
         fused=args.fused,
         mel_bucket=args.mel_bucket,
         spec_k=args.spec_k,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        seed=args.seed,
     )
     quantize = "" if args.quantize == "none" else args.quantize
 

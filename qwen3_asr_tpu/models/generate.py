@@ -686,6 +686,183 @@ def generate_greedy_spec(
     return out[:max_tokens], n, stats
 
 
+# ---------------------------------------------------------------------------
+# sampled generation (temperature / top-k / top-p)
+# ---------------------------------------------------------------------------
+# The reference is greedy-only (qwen3_asr.cpp:305-317 — argmax). Sampling is
+# a serving-surface extension (the OpenAI transcription API exposes
+# `temperature`): same prompt/EOS/loop contract as generate_greedy, but the
+# next token is drawn from the softmax. Temperature, top_k and top_p are
+# static (per-setting compile); the PRNG key is a traced argument, with
+# per-step keys derived via fold_in so the whole loop stays one program.
+
+
+def sample_from_logits(logits, key, temperature: float, top_k: int,
+                       top_p: float):
+    """Draw one token id from [V] logits. Filter order matches HF
+    generation: temperature scale -> top-k -> top-p (nucleus) ->
+    categorical. top_k=0 and top_p>=1.0 disable their filters;
+    temperature<=0 is the greedy limit (argmax)."""
+    logits = logits.astype(jnp.float32)
+    if temperature <= 0.0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    logits = logits / temperature
+    neg = jnp.float32(np.finfo(np.float32).min)
+    if top_k and top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][-1]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        # nucleus: keep the smallest prefix of the descending-prob order
+        # whose cumulative probability reaches top_p (the cutoff element
+        # itself is kept, matching HF's TopPLogitsWarper semantics)
+        srt = jnp.sort(logits)[::-1]
+        probs = jax.nn.softmax(srt)
+        cum = jnp.cumsum(probs)
+        idx = jnp.argmax(cum >= top_p)  # first position reaching top_p
+        cut = srt[idx]
+        logits = jnp.where(logits < cut, neg, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "audio_offset", "max_tokens", "cache_dtype",
+                     "temperature", "top_k", "top_p",
+                     "_force_mega_interpret"),
+)
+def generate_sample(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,        # [P] int32, prompt padded to bucket P
+    n_prompt: jax.Array,      # scalar int32, real prompt length
+    audio: jax.Array | None,  # [N_max, hidden] encoder features (padded)
+    n_audio: jax.Array,       # scalar int32
+    audio_offset: int,
+    max_tokens: int,
+    key: jax.Array,           # jax.random key (traced)
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    cache_dtype=jnp.bfloat16,
+    _force_mega_interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sampled generation, same contract as generate_greedy:
+    (out_tokens [max_tokens], n_generated). One jitted program — prefill,
+    the whole sampling loop, EOS test and the output buffer all stay on
+    device.
+
+    With a packed megakernel the decode step still rides it: the kernel's
+    h_debug output (pre-final-norm hidden) feeds the XLA lm head, whose
+    full logits are sampled — the in-kernel argmax is simply unused. That
+    adds one lm-head matmul per step vs greedy; sampling is a quality
+    surface, not the latency headline."""
+    P = tokens.shape[0]
+    S = -(-(P + max_tokens) // 128) * 128
+    kv_i4 = cache_dtype == jnp.int4
+
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_mega = ("mega" in dec_params
+                and cache_dtype in (jnp.bfloat16, jnp.int8, jnp.int4)
+                and (has_pallas_tpu() or _force_mega_interpret))
+    kv_stream = False
+    if use_mega:
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK, mega_max_context
+
+        if S > mega_max_context(dec_params["mega"], cfg,
+                                kv_i8=cache_dtype == jnp.int8, kv_i4=kv_i4):
+            kv_stream = True
+            S = -(-(P + max_tokens) // KV_BLOCK) * KV_BLOCK
+    cache = init_kv_cache(cfg, S, jnp.int8 if kv_i4 else cache_dtype)
+
+    def pick(h_row, i):
+        # per-step key: fold_in keeps the loop state free of key threading
+        return sample_from_logits(
+            lm_logits(dec_params, cfg, h_row),
+            jax.random.fold_in(key, i), temperature, top_k, top_p)
+
+    # ---- prefill ----------------------------------------------------------
+    h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)
+    h, cache = decoder_forward(
+        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
+        cache_offset=jnp.int32(0), kv_valid_len=n_prompt, prefill=True,
+    )
+    h_last = jax.lax.dynamic_index_in_dim(h, n_prompt - 1, axis=0,
+                                          keepdims=False)
+    first = pick(h_last, 0)
+    out0 = jnp.zeros((max_tokens,), jnp.int32).at[0].set(first)
+
+    if use_mega:
+        from qwen3_asr_tpu.ops import megakernel as mk
+
+        L = cfg.n_layers
+        DKV = cfg.n_kv_heads * cfg.head_dim
+        k3 = cache["k"].reshape(L, S, DKV)
+        v3 = cache["v"].reshape(L, S, DKV)
+        kv_i8 = cache_dtype == jnp.int8
+
+        if kv_i4:
+            k3, ks = mk.pack_kv_int4(k3, cache["k_s"])
+            v3, vs = mk.pack_kv_int4(v3, cache["v_s"])
+            step, kvs = mk.mega_decode_step_i4, None
+            if kv_stream:
+                ks, vs = mk.block_kv_scales(ks), mk.block_kv_scales(vs)
+            else:
+                ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+            kvs = (k3, v3, ks, vs)
+        elif kv_i8:
+            step = mk.mega_decode_step_i8
+            if kv_stream:
+                ks = mk.block_kv_scales(cache["k_s"])
+                vs = mk.block_kv_scales(cache["v_s"])
+            else:
+                ks = cache["k_s"].transpose(0, 2, 1)
+                vs = cache["v_s"].transpose(0, 2, 1)
+            kvs = (k3, v3, ks, vs)
+        else:
+            step = mk.mega_decode_step
+            kvs = (k3, v3)
+
+        def cond_m(state):
+            i, token = state[0], state[1]
+            return (token != cfg.eos_token_id) & (i < max_tokens)
+
+        def body_m(state):
+            i, token, kvs, out = state
+            pos = (n_prompt + i - 1).astype(jnp.int32)
+            x = jnp.take(dec_params["token_embd"], token[None], axis=0)
+            res = step(dec_params["mega"], cfg, x, pos, *kvs,
+                       interpret=_force_mega_interpret, kv_stream=kv_stream)
+            h_dbg = res[-1]          # [1, H] f32 pre-final-norm hidden
+            nxt = pick(h_dbg[0], i)
+            return i + 1, nxt, tuple(res[1:-1]), out.at[i].set(nxt)
+
+        i, last, _, out = jax.lax.while_loop(
+            cond_m, body_m, (jnp.int32(1), first, kvs, out0))
+        n_kept = jnp.where(last == cfg.eos_token_id, i - 1, i)
+        return out, n_kept
+
+    def cond(state):
+        i, token, _, _ = state
+        return (token != cfg.eos_token_id) & (i < max_tokens)
+
+    def body(state):
+        i, token, cache, out = state
+        pos = n_prompt + i - 1
+        h0 = jnp.take(dec_params["token_embd"], token[None], axis=0)
+        h, cache = decoder_forward(
+            dec_params, cfg, h0, pos[None].astype(jnp.int32), cache,
+            cache_offset=pos, kv_valid_len=pos + 1,
+        )
+        nxt = pick(h[0], i)
+        return i + 1, nxt, cache, out.at[i].set(nxt)
+
+    i, last, cache, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), first, cache, out0))
+    n_kept = jnp.where(last == cfg.eos_token_id, i - 1, i)
+    return out, n_kept
+
+
 def nar_forward(dec_params, cfg, tokens, audio, n_audio, audio_offset: int,
                 n_valid=None):
     """Single non-autoregressive causal pass -> per-position hidden states.

@@ -57,6 +57,15 @@ class TranscribeParams:
     # the int8pc XLA greedy sequence regardless of draft quality; needs a
     # quantized model with the megakernel packed. Overrides fused/progress.
     spec_k: int = 0
+    # temperature>0: sampled decoding (models/generate.py::generate_sample)
+    # instead of greedy argmax — a serving-surface extension (the reference
+    # is greedy-only, qwen3_asr.cpp:305-317; the OpenAI transcription API
+    # exposes `temperature`). top_k=0 / top_p=1.0 disable those filters.
+    # Overrides fused/spec/streaming (one whole-loop sampled program).
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0                 # PRNG seed for sampled decoding
 
 
 @dataclasses.dataclass
@@ -246,8 +255,9 @@ class Qwen3ASR:
         dcfg = self.cfg.decoder
         t_total = time.perf_counter()
 
+        sampled = params.temperature > 0.0
         fused_path = (params.fused and params.mel_bucket == 0
-                      and params.spec_k == 0
+                      and params.spec_k == 0 and not sampled
                       and not (self._progress_cb or self._token_cb
                                or params.print_progress))
         if not fused_path and hasattr(samples, "samples"):
@@ -346,7 +356,11 @@ class Qwen3ASR:
             )
 
         t0 = time.perf_counter()
-        use_spec = params.spec_k > 0
+        use_spec = params.spec_k > 0 and not sampled
+        if sampled and params.spec_k > 0:
+            print("Note: temperature>0 — spec_k (greedy-exact speculation) "
+                  "does not apply to sampled decoding; using the sampled "
+                  "path.", file=sys.stderr, flush=True)
         if use_spec:
             # hard requirements stay errors; the soft long-audio limit
             # demotes to the plain path below
@@ -408,6 +422,28 @@ class Qwen3ASR:
                         f"({int(stats['accepted']) / drafted:.0%})",
                         file=sys.stderr, flush=True,
                     )
+            elif sampled:
+                # sampled decoding: one whole-loop program (progress
+                # callbacks are per-utterance here, not per-token — the
+                # loop never returns to the host mid-generation)
+                from qwen3_asr_tpu.models.generate import generate_sample
+
+                if self._progress_cb or self._token_cb or params.print_progress:
+                    print("Note: temperature>0 runs the whole sampled loop "
+                          "in one dispatch; per-token progress is not "
+                          "reported.", file=sys.stderr, flush=True)
+                out, n_kept = generate_sample(
+                    self.params["decoder"], dcfg,
+                    jnp.asarray(toks), jnp.int32(n_prompt),
+                    audio_padded, jnp.int32(n_audio), offset,
+                    params.max_tokens,
+                    jax.random.PRNGKey(params.seed),
+                    temperature=float(params.temperature),
+                    top_k=int(params.top_k), top_p=float(params.top_p),
+                    cache_dtype=self._cache_dtype(),
+                )
+                out, n_kept = jax.device_get((out, n_kept))
+                result.tokens = [int(t) for t in out[: int(n_kept)]]
             elif self._progress_cb or self._token_cb or params.print_progress:
                 # streaming path: one dispatch per token, per-token progress
                 # (the reference's callback contract, qwen3_asr.cpp:264,289)

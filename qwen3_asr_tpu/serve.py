@@ -93,12 +93,16 @@ class _Request:
     align_text: str | None = None  # set: forced-alignment request
     language: str = ""
     stream_q: queue.Queue | None = None  # set: SSE streaming request
+    params: TranscribeParams | None = None  # set: per-request override
+    #  (e.g. temperature sampling) — runs alone, outside the greedy batch
 
 
 def _request_kind(req: _Request) -> str:
     if req.align_text is not None:
         return "align"
-    return "stream" if req.stream_q is not None else "asr"
+    if req.stream_q is not None:
+        return "stream"
+    return "solo" if req.params is not None else "asr"
 
 
 class ASRServer:
@@ -131,11 +135,15 @@ class ASRServer:
 
     # -- client side ---------------------------------------------------------
 
-    def submit(self, samples: np.ndarray) -> Future:
+    def submit(self, samples: np.ndarray,
+               params: TranscribeParams | None = None) -> Future:
         """Enqueue one utterance (float32/int16 16 kHz samples) -> Future
-        resolving to a TranscribeResult."""
+        resolving to a TranscribeResult. `params` overrides the server's
+        TranscribeParams for THIS request (e.g. temperature sampling);
+        overridden requests run alone instead of joining the greedy
+        batch."""
         fut: Future = Future()
-        self._queue.put(_Request(np.asarray(samples), fut))
+        self._queue.put(_Request(np.asarray(samples), fut, params=params))
         return fut
 
     def transcribe(self, samples: np.ndarray):
@@ -237,6 +245,11 @@ class ASRServer:
                     results = []
                 elif batch[0].align_text is not None:
                     results = self._run_align(batch)
+                elif batch[0].params is not None:
+                    # per-request overrides (sampling): sequential, each
+                    # with its own params — correctness over batching
+                    results = [self.asr.transcribe(r.samples, r.params)
+                               for r in batch]
                 elif len(batch) == 1:
                     results = [self.asr.transcribe(batch[0].samples, self.params)]
                 else:
@@ -496,8 +509,11 @@ def _make_handler(server: ASRServer):
             """OpenAI-compatible `POST /v1/audio/transcriptions`
             (multipart: `file` required; `language`, `response_format`
             json|text|verbose_json|srt|vtt, `timestamp_granularities[]=
-            word` honored; `model`/`prompt`/`temperature` accepted and
-            ignored — the loaded model is the model, decoding is greedy).
+            word` honored; `temperature` > 0 switches that request to
+            sampled decoding (models/generate.py::generate_sample; an
+            optional non-standard `seed` field makes it reproducible) and
+            runs it outside the greedy batch; `model`/`prompt` accepted
+            and ignored — the loaded model is the model).
             Word timestamps (and the srt/vtt renders built from them) run
             the forced aligner on the transcript, so `--aligner-model`
             must be loaded; granularities require `response_format=
@@ -546,10 +562,40 @@ def _make_handler(server: ASRServer):
             if sr != SAMPLE_RATE:
                 self._openai_error(400, f"Audio must be 16kHz, got {sr} Hz")
                 return
+            try:
+                temp = float(
+                    fields.get("temperature", [b"0"])[-1].decode().strip()
+                    or "0")
+            except ValueError:
+                self._openai_error(400, "temperature must be a number")
+                return
+            if not 0.0 <= temp <= 2.0:
+                self._openai_error(
+                    400, "temperature must be in [0, 2]")
+                return
             if stream:
+                if temp > 0:
+                    self._openai_error(
+                        400, "stream=true is greedy-only (sampled decoding "
+                             "runs as one whole-loop program)")
+                    return
                 self._sse_transcription(samples)
                 return
-            result = server.submit(samples).result()
+            req_params = None
+            if temp > 0:
+                import dataclasses as _dc
+
+                try:
+                    seed = int(fields.get("seed", [b"0"])[-1].decode()
+                               .strip() or "0")
+                except ValueError:
+                    self._openai_error(400, "seed must be an integer")
+                    return
+                # round so nearby temperatures reuse one compiled program
+                # (temperature is a static compile arg)
+                req_params = _dc.replace(
+                    server.params, temperature=round(temp, 2), seed=seed)
+            result = server.submit(samples, params=req_params).result()
             if not result.success:
                 self._openai_error(500, result.error_msg, "server_error")
                 return
@@ -597,7 +643,7 @@ def _make_handler(server: ASRServer):
                 # the logprob/ratio diagnostics are not produced by a
                 # greedy pipeline and carry neutral values
                 return {"id": i, "seek": 0, "start": start, "end": end,
-                        "text": text, "tokens": [], "temperature": 0.0,
+                        "text": text, "tokens": [], "temperature": temp,
                         "avg_logprob": 0.0, "compression_ratio": 1.0,
                         "no_speech_prob": 0.0}
 

@@ -86,6 +86,23 @@ def test_transcribe_quantize_int4_plumbing(tmp_path, capsys):
     assert capsys.readouterr().out.endswith("\n")
 
 
+def test_transcribe_temperature_sampling(tmp_path, capsys):
+    """--temperature plumbing: sampled decoding loads and transcribes;
+    the same seed reproduces the same stdout transcript."""
+    asr_path, _ = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+
+    args = ["-m", asr_path, "-f", wav, "--max-tokens", "4",
+            "--dtype", "float32", "--no-timing",
+            "--temperature", "0.9", "--top-p", "0.95", "--seed", "7"]
+    assert main(args) == 0
+    first = capsys.readouterr().out
+    assert main(args) == 0
+    assert capsys.readouterr().out == first
+
+
 def test_align_mode_json_output(tmp_path, capsys):
     _, fa_path = make_models(tmp_path)
     wav = str(tmp_path / "a.wav")

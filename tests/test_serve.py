@@ -502,6 +502,58 @@ def test_openai_transcriptions_endpoint(rng):
         server.close()
 
 
+def test_openai_temperature_sampling(rng):
+    """temperature>0 routes the request through sampled decoding (outside
+    the greedy batch): same seed reproduces the transcript, malformed or
+    out-of-range temperatures get the OpenAI error envelope."""
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=3, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    server = ASRServer(asr, params, max_batch=2, max_wait_ms=1.0)
+    httpd = serve_http(server, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    url = f"http://127.0.0.1:{port}/v1/audio/transcriptions"
+    wav = _wav_bytes(_tone(440))
+
+    def post(fields, expect_error=None):
+        body, ctype = _multipart(fields)
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": ctype}, method="POST")
+        if expect_error is None:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, r.read()
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError(f"expected HTTP {expect_error}")
+        except urllib.error.HTTPError as e:
+            assert e.code == expect_error
+            return e.code, e.read()
+
+    try:
+        fields = [("file", wav), ("temperature", b"0.9"), ("seed", b"11")]
+        _, body1 = post(fields)
+        _, body2 = post(fields)
+        assert json.loads(body1)["text"] == json.loads(body2)["text"]
+        # temperature=0 is the plain greedy path
+        status, _ = post([("file", wav), ("temperature", b"0")])
+        assert status == 200
+        # validation: non-numeric and out-of-range -> 400 envelope
+        _, body = post([("file", wav), ("temperature", b"warm")],
+                       expect_error=400)
+        assert "temperature" in json.loads(body)["error"]["message"]
+        _, body = post([("file", wav), ("temperature", b"3.5")],
+                       expect_error=400)
+        assert "[0, 2]" in json.loads(body)["error"]["message"]
+        # stream=true + temperature>0 is rejected (greedy-only streaming)
+        _, body = post([("file", wav), ("stream", b"true"),
+                        ("temperature", b"0.5")], expect_error=400)
+        assert "greedy" in json.loads(body)["error"]["message"]
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
 def test_openai_words_need_aligner(rng):
     """Word timestamps without --aligner-model -> 400 with a pointer to
     the flag, not a crash."""
