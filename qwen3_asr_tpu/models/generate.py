@@ -692,45 +692,95 @@ def generate_greedy_spec(
 # The reference is greedy-only (qwen3_asr.cpp:305-317 — argmax). Sampling is
 # a serving-surface extension (the OpenAI transcription API exposes
 # `temperature`): same prompt/EOS/loop contract as generate_greedy, but the
-# next token is drawn from the softmax. Temperature, top_k and top_p are
-# static (per-setting compile); the PRNG key is a traced argument, with
-# per-step keys derived via fold_in so the whole loop stays one program.
+# next token is drawn from the softmax. `temperature` and `top_p` are TRACED
+# scalars — any setting hits the same compiled whole-loop program (hostile
+# clients can't force per-setting recompiles); only `top_k` stays static
+# (it shapes the lax.top_k call). The nucleus filter's sort is structural,
+# so there are exactly two programs per top_k: with and without top-p
+# (top_p>=1.0 as a concrete float elides the sort). The PRNG key is a
+# traced argument, with per-step keys derived via fold_in.
 
 
-def sample_from_logits(logits, key, temperature: float, top_k: int,
-                       top_p: float):
+def sample_from_logits(logits, key, temperature, top_k: int, top_p=1.0,
+                       greedy: bool | None = None,
+                       use_top_p: bool | None = None):
     """Draw one token id from [V] logits. Filter order matches HF
     generation: temperature scale -> top-k -> top-p (nucleus) ->
     categorical. top_k=0 and top_p>=1.0 disable their filters;
-    temperature<=0 is the greedy limit (argmax)."""
+    temperature<=0 is the greedy limit (argmax).
+
+    `temperature` and `top_p` may be traced scalars. The structural
+    decisions (greedy limit; whether the nucleus sort exists at all) are
+    inferred from concrete Python floats when given, or forced via the
+    `greedy`/`use_top_p` kwargs when the values are tracers (a tracer
+    cannot be inspected, so callers under jit must pass the flags)."""
     logits = logits.astype(jnp.float32)
-    if temperature <= 0.0:
+    if greedy is None:
+        greedy = isinstance(temperature, (int, float)) and temperature <= 0.0
+    if use_top_p is None:
+        use_top_p = not (isinstance(top_p, (int, float)) and top_p >= 1.0)
+    if greedy:
         return jnp.argmax(logits).astype(jnp.int32)
-    logits = logits / temperature
+    # clamp: a traced temperature could be 0/negative at runtime; the floor
+    # keeps the division finite (1e-4 is far below any useful setting)
+    logits = logits / jnp.maximum(
+        jnp.asarray(temperature, jnp.float32), 1e-4)
     neg = jnp.float32(np.finfo(np.float32).min)
     if top_k and top_k > 0 and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][-1]
         logits = jnp.where(logits < kth, neg, logits)
-    if top_p < 1.0:
+    if use_top_p:
         # nucleus: keep the smallest prefix of the descending-prob order
         # whose cumulative probability reaches top_p (the cutoff element
-        # itself is kept, matching HF's TopPLogitsWarper semantics)
+        # itself is kept, matching HF's TopPLogitsWarper semantics).
+        # "exclusive cumsum < top_p" is that same set, phrased so a traced
+        # top_p >= 1.0 degrades to keeping everything (always true) rather
+        # than mis-selecting when the cumsum never reaches the threshold.
         srt = jnp.sort(logits)[::-1]
         probs = jax.nn.softmax(srt)
         cum = jnp.cumsum(probs)
-        idx = jnp.argmax(cum >= top_p)  # first position reaching top_p
-        cut = srt[idx]
+        keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
+        cut = jnp.min(jnp.where(keep, srt, jnp.float32(np.inf)))
         logits = jnp.where(logits < cut, neg, logits)
     return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def generate_sample(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,
+    n_prompt: jax.Array,
+    audio: jax.Array | None,
+    n_audio: jax.Array,
+    audio_offset: int,
+    max_tokens: int,
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    cache_dtype=jnp.bfloat16,
+    _force_mega_interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Public sampled-generation entry: derives the static structure flags
+    from the concrete knob values, then dispatches to the jitted core with
+    `temperature`/`top_p` as TRACED scalars — every (temperature, top_p)
+    combination shares one compiled program per (top_k, use_top_p)."""
+    greedy = isinstance(temperature, (int, float)) and temperature <= 0.0
+    use_top_p = not (isinstance(top_p, (int, float)) and top_p >= 1.0)
+    return _generate_sample(
+        dec_params, cfg, tokens, n_prompt, audio, n_audio, audio_offset,
+        max_tokens, key, jnp.float32(temperature), int(top_k),
+        jnp.float32(top_p), greedy, use_top_p, cache_dtype,
+        _force_mega_interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "audio_offset", "max_tokens", "cache_dtype",
-                     "temperature", "top_k", "top_p",
+                     "top_k", "greedy", "use_top_p",
                      "_force_mega_interpret"),
 )
-def generate_sample(
+def _generate_sample(
     dec_params: dict,
     cfg: DecoderConfig,
     tokens: jax.Array,        # [P] int32, prompt padded to bucket P
@@ -740,9 +790,11 @@ def generate_sample(
     audio_offset: int,
     max_tokens: int,
     key: jax.Array,           # jax.random key (traced)
-    temperature: float = 1.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
+    temperature: jax.Array,   # traced f32 scalar
+    top_k: int,
+    top_p: jax.Array,         # traced f32 scalar
+    greedy: bool,
+    use_top_p: bool,
     cache_dtype=jnp.bfloat16,
     _force_mega_interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -779,7 +831,8 @@ def generate_sample(
         # per-step key: fold_in keeps the loop state free of key threading
         return sample_from_logits(
             lm_logits(dec_params, cfg, h_row),
-            jax.random.fold_in(key, i), temperature, top_k, top_p)
+            jax.random.fold_in(key, i), temperature, top_k, top_p,
+            greedy=greedy, use_top_p=use_top_p)
 
     # ---- prefill ----------------------------------------------------------
     h0 = embed_with_audio(dec_params, tokens, audio, n_audio, audio_offset)

@@ -591,10 +591,12 @@ def _make_handler(server: ASRServer):
                 except ValueError:
                     self._openai_error(400, "seed must be an integer")
                     return
-                # round so nearby temperatures reuse one compiled program
-                # (temperature is a static compile arg)
+                # temperature (and top_p) are traced scalars in
+                # generate_sample — every setting reuses ONE compiled
+                # sampled-loop program, so the raw client value passes
+                # through (no defensive rounding needed)
                 req_params = _dc.replace(
-                    server.params, temperature=round(temp, 2), seed=seed)
+                    server.params, temperature=temp, seed=seed)
             result = server.submit(samples, params=req_params).result()
             if not result.success:
                 self._openai_error(500, result.error_msg, "server_error")
