@@ -45,8 +45,11 @@ def main():
     seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "92"))
     n_words = int(os.environ.get("BENCH_WORDS", "183"))
     gguf = os.environ.get("QWEN3_FA_GGUF", "")
+    # "" = dense bf16 (the r3 numbers); "int8pc" quantizes the NAR
+    # decoder's layer matmuls (pipeline/aligner.py::ForcedAligner)
+    quantize = os.environ.get("QWEN3_FA_QUANTIZE", "")
 
-    fa = ForcedAligner(dtype=jnp.bfloat16)
+    fa = ForcedAligner(dtype=jnp.bfloat16, quantize=quantize)
     if gguf:
         assert fa.load_model(gguf), fa.error_msg
     else:
@@ -103,7 +106,8 @@ def main():
             "classify_ms": round(best["classify_ms"], 1),
             "words": n_words,
             "device": str(jax.devices()[0]),
-            "weights": "gguf" if gguf else "synthetic-bf16",
+            "weights": ("gguf" if gguf else "synthetic-bf16")
+            + (f"+{quantize}" if quantize else ""),
         },
     }
     print(json.dumps(result))

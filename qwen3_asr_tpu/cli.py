@@ -210,7 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         if not asr.load_model(args.model):
             _eprint(f"Error (ASR): {asr.error_msg}")
             return 1
-        aligner = ForcedAligner(dtype=dtype)
+        aligner = ForcedAligner(dtype=dtype, quantize=quantize)
         if not aligner.load_model(args.aligner_model):
             _eprint(f"Error (Aligner): {aligner.error_msg}")
             return 1
@@ -247,7 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             _eprint(f"  Language: {args.language}")
         _eprint("")
 
-        aligner = ForcedAligner(dtype=dtype)
+        aligner = ForcedAligner(dtype=dtype, quantize=quantize)
         if not aligner.load_model(args.model):
             _eprint(f"Error: {aligner.error_msg}")
             return 1

@@ -94,13 +94,58 @@ def _nar_classify_batch(dec_params, cfg, tokens, n_valid, audio, n_audio,
 class ForcedAligner:
     """Word-level timestamp alignment (model: Qwen3-ForcedAligner-0.6B)."""
 
-    def __init__(self, dtype=jnp.bfloat16):
+    def __init__(self, dtype=jnp.bfloat16, quantize=False):
+        # quantize: False (dense bf16), "int8pc"/True (per-output-channel
+        # int8 layer matmuls — the NAR classify pass, the reference's
+        # single biggest hotspot at 12,998 ms (README.md:137), halves its
+        # layer-weight HBM traffic AND rides the v5e's 2x-rate int8 MXU;
+        # the classify head and embedding stay dense), "q8_0" (GGUF block
+        # semantics via the Pallas kernels), or "auto" (int8pc unless the
+        # GGUF already shipped quantized leaves). "int4" maps to int8pc:
+        # the int4 stream is a megakernel decode format and the FA is one
+        # NAR pass — there is no decode loop to ride it.
         self.dtype = dtype
+        if quantize is True:
+            quantize = "int8pc"
+        if quantize == "int4":
+            quantize = "int8pc"
+        if quantize not in (False, "", None, "auto", "int8pc", "q8_0"):
+            raise ValueError(f"quantize must be int8pc/q8_0/auto, got "
+                             f"{quantize!r}")
+        self.quantize = quantize or ""
         self.cfg: AlignerModelConfig | None = None
         self.params = None
         self.tokenizer: BPETokenizer | None = None
         self.ko_dict: set[str] = set()
         self.error_msg = ""
+
+    def _resolve_quantize(self) -> str:
+        """'auto' -> int8pc for dense weights, no-op when the GGUF already
+        shipped int8 blocks (same policy as Qwen3ASR._resolve_quantize)."""
+        if self.quantize != "auto":
+            return self.quantize
+        from qwen3_asr_tpu.runtime.params import _DEC_QUANT_KEYS
+
+        layers = self.params["decoder"]["layers"]
+        already = any(isinstance(layers.get(k), dict) for k in _DEC_QUANT_KEYS)
+        return "" if already else "int8pc"
+
+    def _prepare_decoder(self) -> None:
+        """Quantize (optional) + fuse the decoder tree in place. The NAR
+        forward is the ASR decoder's prefill path, so the int8pc leaves are
+        executed by the same pc_matmul code the ASR pipeline gates."""
+        from qwen3_asr_tpu.runtime.params import (
+            fuse_decoder_params,
+            quantize_decoder_params,
+        )
+
+        quantize = self._resolve_quantize()
+        if quantize:
+            # lm_head=False: the FA head is `classify_w` (dense, ~10 MB);
+            # an int8 copy of the 152k-row tied lm head would be dead HBM
+            self.params["decoder"] = quantize_decoder_params(
+                self.params["decoder"], quantize, lm_head=False)
+        self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
 
     def load_model(self, model_path: str) -> bool:
         try:
@@ -109,9 +154,7 @@ class ForcedAligner:
             )
             self.tokenizer = BPETokenizer(vocab, merges)
             self.mel_filters = generate_mel_filters()
-            from qwen3_asr_tpu.runtime.params import fuse_decoder_params
-
-            self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
+            self._prepare_decoder()
             self.params = jax.device_put(self.params)
             return True
         except Exception as e:
@@ -122,9 +165,7 @@ class ForcedAligner:
                     vocab=None, merges=None) -> None:
         self.cfg = cfg
         self.params = init_aligner_params(cfg, seed, self.dtype)
-        from qwen3_asr_tpu.runtime.params import fuse_decoder_params
-
-        self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
+        self._prepare_decoder()
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

@@ -278,7 +278,8 @@ def load_aligner_model(path: str, dtype=jnp.bfloat16):
 _DEC_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_decoder_params(dec_params: dict, mode: str = "q8_0") -> dict:
+def quantize_decoder_params(dec_params: dict, mode: str = "q8_0",
+                            lm_head: bool = True) -> dict:
     """Quantize the decoder's per-layer matmul weights to int8 leaves.
     Embedding/norms stay dense — same policy as the reference converter's
     Q8_0 mode (convert_hf_to_gguf.cpp:231-252).
@@ -291,7 +292,10 @@ def quantize_decoder_params(dec_params: dict, mode: str = "q8_0") -> dict:
 
     Stacked [L, in, out] weights quantize per layer and restack. The tied
     lm head additionally gets an int8 copy — it is read in full every
-    decode step while the embedding gather stays on the dense table."""
+    decode step while the embedding gather stays on the dense table.
+    lm_head=False skips that copy: the forced aligner's decoder ends in
+    the (small, dense) classify head, so an int8 lm head would be ~150 MB
+    of dead HBM (forced_aligner.cpp:1073-1076 replaces lm_head there)."""
     from qwen3_asr_tpu.ops.q8_matmul import (
         quantize_pc_weights,
         quantize_q8_weights,
@@ -315,6 +319,8 @@ def quantize_decoder_params(dec_params: dict, mode: str = "q8_0") -> dict:
         layers[key] = {qk: jnp.asarray(np.stack(qs)),
                        sk: jnp.asarray(np.stack(ss))}
     out["layers"] = layers
+    if not lm_head:
+        return out
     head = np.asarray(dec_params["token_embd"], np.float32).T  # [hidden, vocab]
     if mode == "q8_0" and "lm_head_q8" not in out:
         from qwen3_asr_tpu.ops.q8_matmul import quant_leaf

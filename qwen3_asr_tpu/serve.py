@@ -841,7 +841,9 @@ def main(argv=None) -> int:
         from qwen3_asr_tpu.pipeline.aligner import ForcedAligner
         from qwen3_asr_tpu.text.korean import find_korean_dict
 
-        aligner = ForcedAligner(dtype=jnp.bfloat16)
+        aligner = ForcedAligner(
+            dtype=jnp.bfloat16,
+            quantize="" if args.quantize == "none" else args.quantize)
         if not aligner.load_model(args.aligner_model):
             print(f"Error (aligner): {aligner.error_msg}", file=sys.stderr)
             return 1

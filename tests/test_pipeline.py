@@ -121,6 +121,59 @@ def test_transcribe_from_wav_file(tiny_gguf, tmp_path):
     assert not r2.success and "16kHz" in r2.error_msg
 
 
+def test_aligner_quantized_matches_dense(tmp_path):
+    """int8pc forced aligner (VERDICT r3 #4): the NAR classify pass runs
+    on per-output-channel int8 layer matmuls (pc_matmul — the same leaves
+    the ASR prefill gates) with the classify head dense. Gate: word
+    timestamps within one 80 ms class of the dense run on the synthetic
+    model, and the int8 tree must NOT carry a (dead) quantized lm head."""
+    cfg = tiny_aligner_config()
+    params = init_aligner_params(cfg, seed=4, dtype=jnp.float32)
+    params_np = jax.tree.map(np.asarray, params)
+    vocab = make_byte_vocab(
+        cfg.decoder.vocab_size,
+        {
+            cfg.timestamp_token_id: "<|ts|>",
+            cfg.decoder.audio_start_token_id: "<|audio_start|>",
+            cfg.decoder.audio_end_token_id: "<|audio_end|>",
+            cfg.decoder.audio_pad_token_id: "<|audio_pad|>",
+        },
+    )
+    path = str(tmp_path / "tiny-fa.gguf")
+    write_tiny_gguf(path, cfg, params_np, aligner=True, vocab=vocab, merges=[])
+
+    dense = ForcedAligner(dtype=jnp.float32)
+    assert dense.load_model(path), dense.error_msg
+    quant = ForcedAligner(dtype=jnp.float32, quantize="int8pc")
+    assert quant.load_model(path), quant.error_msg
+
+    # int8pc leaves present on the layer matmuls, no dead lm head copy
+    layers = quant.params["decoder"]["layers"]
+    assert isinstance(layers["wqkv"], dict) and "i8pc:q" in layers["wqkv"]
+    assert "lm_head_pc" not in quant.params["decoder"]
+    assert "lm_head_q8" not in quant.params["decoder"]
+
+    audio = make_audio(1.2)
+    text = "hello world test"
+    rd = dense.align(audio, text, language="")
+    rq = quant.align(audio, text, language="")
+    assert rd.success and rq.success, (rd.error_msg, rq.error_msg)
+    assert [w.word for w in rq.words] == [w.word for w in rd.words]
+    for wd, wq in zip(rd.words, rq.words):
+        # int8pc perturbs logits at ~0.2% relative; argmax class may move
+        # at most one 80 ms segment on the synthetic gate
+        assert abs(wq.start - wd.start) <= 0.08 + 1e-6, (wd, wq)
+        assert abs(wq.end - wd.end) <= 0.08 + 1e-6, (wd, wq)
+
+    # "auto" resolves to int8pc for dense GGUFs (CLI/serve default), and
+    # "int4" maps onto int8pc (no decode loop to ride the int4 stream)
+    auto = ForcedAligner(dtype=jnp.float32, quantize="auto")
+    assert auto.load_model(path), auto.error_msg
+    assert isinstance(auto.params["decoder"]["layers"]["wqkv"], dict)
+    assert ForcedAligner(dtype=jnp.float32, quantize="int4").quantize == \
+        "int8pc"
+
+
 def test_aligner_end_to_end(tmp_path):
     cfg = tiny_aligner_config()
     params = init_aligner_params(cfg, seed=4, dtype=jnp.float32)
