@@ -361,6 +361,33 @@ def main():
             **device_stages,
         },
     }
+
+    # On-chip kernel gate (VERDICT r3 #6): all pytest runs exercise the
+    # Pallas kernels in interpret mode on CPU; this runs the real Mosaic
+    # binaries against their XLA contracts and writes CHIPTEST.json next
+    # to the bench artifact. Never fails the bench — a failed gate is a
+    # recorded red flag, not a missing benchmark.
+    if pallas_ok and os.environ.get("QWEN3_CHIPGATE", "1") == "1":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from chipgate import run_chipgate
+
+            print("bench: chipgate (on-chip kernel-vs-XLA equality)...",
+                  file=sys.stderr, flush=True)
+            gate = run_chipgate(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "CHIPTEST.json"))
+            result["detail"]["chipgate"] = {
+                "pass": gate.get("pass"),
+                "gates": {k: v.get("pass")
+                          for k, v in gate.get("gates", {}).items()},
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: chipgate failed to run ({e!r})",
+                  file=sys.stderr, flush=True)
+            result["detail"]["chipgate"] = {"pass": None, "error": str(e)}
+
     print(json.dumps(result))
 
 

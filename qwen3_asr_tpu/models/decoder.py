@@ -319,6 +319,125 @@ def decoder_forward(
     return h_out, new_cache
 
 
+def decoder_prefill_batch(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    h: jax.Array,             # [B, P, hidden] input embeddings
+    positions: jax.Array,     # [P] int32 RoPE positions (shared: prompts
+                              # are left-aligned in their buckets)
+    kv_valid_len: jax.Array,  # [B] int32 real prompt length per sequence
+) -> tuple[jax.Array, dict]:
+    """Genuinely batched prefill (VERDICT r3 #3): every layer matmul runs
+    ONCE on the flattened [B*P, hidden] rows — one MXU program for the
+    whole batch instead of B sequential prefills (the lax.map in
+    generate_greedy_batch_mega measured ~196 ms of the 930 ms B=8 device
+    budget) — while attention stays per-sequence (vmapped Pallas flash on
+    TPU; masked XLA reference elsewhere, which the CPU tests exercise).
+
+    Returns (hidden [B, P, hidden], rows {k, v}: [L, B, P, n_kv, hd]
+    bf16-precision fresh cache rows — the caller bulk-quantizes/layouts
+    them for its cache; per-row quantize-on-write inside the scan measured
+    slower than one vectorized pass, see generate_greedy_batch_mega)."""
+    B, P, H = h.shape
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
+    valid = jnp.asarray(kv_valid_len, jnp.int32)
+
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    use_flash = P > 1 and has_pallas_tpu()
+    if not use_flash:
+        rows_i = jnp.arange(P)[:, None]
+        cols_i = jnp.arange(P)[None, :]
+        # same padding-row rule as decoder_forward: right-padding rows keep
+        # their diagonal so softmax stays finite (outputs never read)
+        block_mask = (cols_i <= rows_i) & (
+            (cols_i < valid[:, None, None]) | (cols_i == rows_i))  # [B,P,P]
+
+    def attend(q, k, v):
+        # q: [B, P, NH, D]; k/v: [B, P, NKV, D]
+        if use_flash:
+            from qwen3_asr_tpu.ops.pallas_attention import flash_attention
+
+            return jax.vmap(
+                lambda qb, kb, vb, vl: flash_attention(
+                    qb, kb, vb, vl, causal=True, scale=scale)
+            )(q, k, v, valid)
+        from qwen3_asr_tpu.ops.attention import mha_attention
+
+        return jax.vmap(
+            lambda qb, kb, vb, mb: mha_attention(qb, kb, vb, mb, scale)
+        )(q, k, v, block_mask)
+
+    def flatmm(x, fn):
+        """Apply a row-wise matmul fn on [B, P, :] via the flat [B*P, :]
+        view — XLA sees one tall matmul per weight."""
+        y = fn(x.reshape(B * P, x.shape[-1]))
+        return y.reshape(B, P, y.shape[-1])
+
+    def body(x_in, lp):
+        dq = cfg.n_heads * cfg.head_dim
+        dkv = cfg.n_kv_heads * cfg.head_dim
+        if "wqkv" in lp:
+            if is_quant_leaf(lp["wqkv"]):
+                qkv = flatmm(x_in, lambda r: q8_norm_matmul(
+                    r, lp["wqkv"], lp["attn_norm"], cfg.rms_norm_eps
+                ).astype(x_in.dtype))
+            else:
+                x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
+                qkv = flatmm(x, lambda r: matmul_any(r, lp["wqkv"]))
+            q = qkv[..., :dq].reshape(B, P, cfg.n_heads, cfg.head_dim)
+            k = qkv[..., dq:dq + dkv].reshape(
+                B, P, cfg.n_kv_heads, cfg.head_dim)
+            v = qkv[..., dq + dkv:].reshape(
+                B, P, cfg.n_kv_heads, cfg.head_dim)
+        else:
+            x = rms_norm(x_in, lp["attn_norm"], cfg.rms_norm_eps)
+            q = flatmm(x, lambda r: matmul_any(r, lp["wq"])).reshape(
+                B, P, cfg.n_heads, cfg.head_dim)
+            k = flatmm(x, lambda r: matmul_any(r, lp["wk"])).reshape(
+                B, P, cfg.n_kv_heads, cfg.head_dim)
+            v = flatmm(x, lambda r: matmul_any(r, lp["wv"])).reshape(
+                B, P, cfg.n_kv_heads, cfg.head_dim)
+
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        # rope_neox broadcasts its [P, 1, half] angle tables over the
+        # leading batch dim
+        q = rope_neox(q, positions, cfg.rope_theta)
+        k = rope_neox(k, positions, cfg.rope_theta)
+
+        attn = attend(q, k, v)
+        x = flatmm(attn.reshape(B, P, dq),
+                   lambda r: matmul_any(r, lp["wo"]))
+        h1 = x_in + x
+
+        if ("w_gate_up" in lp and is_quant_leaf(lp["w_gate_up"])
+                and is_quant_leaf(lp["w_down"])):
+            h2 = h1 + flatmm(h1, lambda r: q8_mlp(
+                r, lp["w_gate_up"], lp["w_down"], lp["ffn_norm"],
+                cfg.rms_norm_eps, cfg.intermediate_size,
+            ).astype(h1.dtype))
+        else:
+            xn = rms_norm(h1, lp["ffn_norm"], cfg.rms_norm_eps)
+            if "w_gate_up" in lp:
+                gu = flatmm(xn, lambda r: matmul_any(r, lp["w_gate_up"]))
+                ffn = gu.shape[-1] // 2
+                h2 = h1 + flatmm(
+                    jax.nn.silu(gu[..., :ffn]) * gu[..., ffn:],
+                    lambda r: matmul_any(r, lp["w_down"]))
+            else:
+                gate = jax.nn.silu(
+                    flatmm(xn, lambda r: matmul_any(r, lp["w_gate"])))
+                up = flatmm(xn, lambda r: matmul_any(r, lp["w_up"]))
+                h2 = h1 + flatmm(gate * up,
+                                 lambda r: matmul_any(r, lp["w_down"]))
+        return h2, {"k": k.astype(h.dtype), "v": v.astype(h.dtype)}
+
+    h_out, rows = jax.lax.scan(body, h, dec_params["layers"],
+                               unroll=cfg.scan_unroll)
+    return h_out, rows
+
+
 def lm_logits(dec_params: dict, cfg: DecoderConfig, h_last: jax.Array) -> jax.Array:
     """Tied lm head on one row: [hidden] -> [vocab] f32
     (text_decoder.cpp:564-574). Uses the int8 copy when quantized."""

@@ -464,7 +464,8 @@ def generate_greedy_streaming(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "audio_offset", "max_tokens", "interpret"),
+    static_argnames=("cfg", "audio_offset", "max_tokens", "interpret",
+                     "kv_stream"),
 )
 def generate_greedy_batch_mega(
     dec_params: dict,
@@ -476,49 +477,72 @@ def generate_greedy_batch_mega(
     audio_offset: int,
     max_tokens: int,
     interpret: bool = False,
+    kv_stream: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched greedy generation through the batched decode megakernel
     (ops/megakernel_batch.py): per step the int8 weight stream is read
     once for the whole batch. int8 KV cache (the batched kernel's only
     mode). Per-sequence EOS: a finished sequence keeps stepping in
     lockstep (its outputs are frozen) until all finish or the budget runs
-    out. Returns (out [B, max_tokens], n_kept [B])."""
+    out. Returns (out [B, max_tokens], n_kept [B]).
+
+    kv_stream=True: the kernel folds each sequence's KV in KV_BLOCK tiles
+    (online softmax, VMEM O(1) in context) — long-context batches keep
+    the megakernel past mega_batch_max_context instead of dropping to the
+    vmapped XLA step (VERDICT r3 #2)."""
+    from qwen3_asr_tpu.ops.megakernel import KV_BLOCK
     from qwen3_asr_tpu.ops.megakernel_batch import mega_decode_step_batch
 
     B, P = tokens.shape
-    S = -(-(P + max_tokens) // 128) * 128
+    align = KV_BLOCK if kv_stream else 128
+    S = -(-(P + max_tokens) // align) * align
     L = cfg.n_layers
     DKV = cfg.n_kv_heads * cfg.head_dim
 
-    def one_prefill(tk, npr, au, na):
-        # prefill with a bf16 cache and bulk-quantize after: per-row
-        # quantize-on-write inside the (vmapped) prefill scan measured far
-        # slower than one vectorized pass over the filled cache
-        cache = init_kv_cache(cfg, S, jnp.bfloat16)
-        h0 = embed_with_audio(dec_params, tk, au, na, audio_offset)
-        h, cache = decoder_forward(
-            dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), cache,
-            cache_offset=jnp.int32(0), kv_valid_len=npr, prefill=True,
-        )
-        h_last = jax.lax.dynamic_index_in_dim(h, npr - 1, axis=0,
-                                              keepdims=False)
-        first = jnp.argmax(lm_logits(dec_params, cfg, h_last))
-        return first.astype(jnp.int32), cache
+    # Batched prefill (VERDICT r3 #3): embed + ONE batched layer stack
+    # whose matmuls run on the flattened [B*P] rows — replaces the lax.map
+    # of B sequential prefills (~196 ms of the 930 ms B=8 device budget).
+    from qwen3_asr_tpu.models.decoder import (
+        _quantize_kv_rows,
+        decoder_prefill_batch,
+        lm_logits_block,
+    )
 
-    # lax.map: one compiled prefill body reused per sequence (vmap
-    # measured the same speed at B=8 but compiles a second, batched copy
-    # of the whole prefill graph)
-    first, cache = jax.lax.map(
-        lambda args: one_prefill(*args), (tokens, n_prompt, audio, n_audio))
+    h0 = jax.vmap(
+        lambda tk, au, na: embed_with_audio(dec_params, tk, au, na,
+                                            audio_offset)
+    )(tokens, audio, n_audio)
+    h, rows = decoder_prefill_batch(
+        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), n_prompt)
+    h_last = jnp.take_along_axis(
+        h, (n_prompt - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    first = jnp.argmax(lm_logits_block(dec_params, cfg, h_last),
+                       axis=-1).astype(jnp.int32)
 
-    from qwen3_asr_tpu.models.decoder import _quantize_kv_rows
+    # bulk-quantize the fresh rows and lay them out for the batched
+    # kernel: rows [L, B, P, NKV, hd] -> caches [B, L, S, DKV] int8 with
+    # scales [B, L, NKV, S] (pad rows past P stay zero; the kernel's
+    # position gating never reads them)
+    NKV = cfg.n_kv_heads
 
-    kq, ks = _quantize_kv_rows(cache["k"])    # [B, L, S, NKV, hd] -> int8
-    vq, vs = _quantize_kv_rows(cache["v"])
-    kq = kq.reshape(B, L, S, DKV)
-    vq = vq.reshape(B, L, S, DKV)
-    ks = ks.transpose(0, 1, 3, 2)             # -> [B, L, NKV, S]
-    vs = vs.transpose(0, 1, 3, 2)
+    def to_cache(rows_lbp):
+        q8, s = _quantize_kv_rows(rows_lbp)        # int8 + [L, B, P, NKV]
+        q8 = q8.transpose(1, 0, 2, 3, 4).reshape(B, L, P, DKV)
+        qf = jnp.zeros((B, L, S, DKV), jnp.int8)
+        qf = jax.lax.dynamic_update_slice(qf, q8, (0, 0, 0, 0))
+        s = s.transpose(1, 0, 2, 3)                # [B, L, P, NKV]
+        sn = jnp.zeros((B, L, S, NKV), jnp.float32)
+        sn = jax.lax.dynamic_update_slice(sn, s, (0, 0, 0, 0))
+        if kv_stream:
+            # block-major [B, L, NB, NKV, KVB] (block_kv_scales per seq)
+            sf = sn.reshape(B, L, S // KV_BLOCK, KV_BLOCK,
+                            NKV).transpose(0, 1, 2, 4, 3)
+        else:
+            sf = sn.transpose(0, 1, 3, 2)          # [B, L, NKV, S]
+        return qf, sf
+
+    kq, ks = to_cache(rows["k"])
+    vq, vs = to_cache(rows["v"])
 
     out0 = jnp.zeros((B, max_tokens), jnp.int32).at[:, 0].set(first)
     done0 = first == cfg.eos_token_id
@@ -534,7 +558,7 @@ def generate_greedy_batch_mega(
         x = jnp.take(dec_params["token_embd"], cur, axis=0)
         nxt, kq, vq, ks, vs, _ = mega_decode_step_batch(
             dec_params["mega"], cfg, x, pos, kq, vq, ks, vs,
-            interpret=interpret)
+            interpret=interpret, kv_stream=kv_stream)
         # finished sequences keep emitting their EOS (frozen outputs)
         nxt = jnp.where(done, cur, nxt)
         out = out.at[:, i].set(jnp.where(done, out[:, i], nxt))

@@ -41,10 +41,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qwen3_asr_tpu.config import DecoderConfig
 
-NBUF = 3          # weight ring slots
+NBUF = 3          # weight ring slots (int8 stream)
 LOOKAHEAD = 2     # DMAs in flight ahead of compute (must be < NBUF)
 CHUNK_IN = 1024   # max rows per weight chunk (the hidden size)
-CHUNK_OUT = 2048  # max cols per weight chunk
+CHUNK_OUT = 2048  # max cols per weight chunk (int8 stream)
+# int4 stream geometry (single-seq kernel): nibble-packed chunks carry
+# HALF the bytes of int8 at the same chunk count, so per-DMA fixed cost
+# doubles as a fraction and the 2-deep ring stops hiding HBM latency —
+# measured 71.4% of peak vs int8's 78.8% (VERDICT r3 #1). On-chip sweep
+# (scripts/sweep_mega_int4.py, 92 s workload): doubling the chunk width
+# restores int8's 2 MB DMAs and a 4-deep lookahead (~8 MB in flight)
+# hides the rest — 0.657 vs 0.763 ms/step in the sweep harness, vs
+# 0.680 for depth alone (co=2048, la=8) and 0.781 for width alone
+# (co=4096, la=2). The batched kernel keeps NBUF/LOOKAHEAD: its VMEM is
+# dominated by the NSLAB KV slabs and its weight stream is amortized
+# over the batch.
+INT4_CHUNK_OUT = 4096
+INT4_NBUF = 5
+INT4_LOOKAHEAD = 4
 KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # past `pos` are never streamed — the KV read scales with
                   # the live context, not the allocated cache
@@ -252,10 +266,14 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
                          "fuse_decoder_params)")
 
     H = cfg.hidden_size
+    # int4 tiles are twice as wide: nibble packing halves the bytes per
+    # row, so the wider chunk restores the int8 stream's 2 MB DMAs (the
+    # measured-efficiency geometry — see INT4_CHUNK_OUT)
+    chunk_out = INT4_CHUNK_OUT if int4 else CHUNK_OUT
 
     def co_for(n_out):
-        # largest divisor of n_out that is <= CHUNK_OUT and lane-aligned
-        c = min(CHUNK_OUT, n_out)
+        # largest divisor of n_out that is <= chunk_out and lane-aligned
+        c = min(chunk_out, n_out)
         while n_out % c:
             c -= 128
         return c
@@ -280,7 +298,7 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
     hq = np.asarray(dec_params["lm_head_pc"]["i8pc:q"])
     hs = np.asarray(dec_params["lm_head_pc"]["i8pc:s"], dtype=np.float32)
     V = hq.shape[1]
-    co_h = min(CHUNK_OUT, -(-V // 128) * 128)
+    co_h = min(chunk_out, -(-V // 128) * 128)
     Vp = -(-V // co_h) * co_h
     if Vp != V:
         hq = np.pad(hq, ((0, 0), (0, Vp - V)))
@@ -399,6 +417,7 @@ def _mega_kernel(
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
     kv_blocks, kv_i8: bool, kv_i4: bool, w4: bool, kv_stream: bool,
+    nbuf: int, la: int,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -450,7 +469,7 @@ def _mega_kernel(
         """Issue the DMA(s) for layer-local schedule position j (static;
         may run past this layer into layer l+1 or, after the last layer,
         into the lm-head chunk stream). `l` is dynamic."""
-        slot = (l * n_sched + j) % NBUF
+        slot = (l * n_sched + j) % nbuf
         if j < n_sched:
             chunk_dma(sched[j], l, slot).start()
             if sched[j][2] == 0:  # first in-chunk carries the oi's scales
@@ -553,8 +572,8 @@ def _mega_kernel(
                     for w in range(len(kv_streams)):
                         kv_copy(l, w, b).wait()
 
-    # ---- warmup: first LOOKAHEAD chunks of layer 0 + layer 0's K/V ------
-    for j in range(min(LOOKAHEAD, n_sched)):
+    # ---- warmup: first `la` chunks of layer 0 + layer 0's K/V -----------
+    for j in range(min(la, n_sched)):
         start(j, 0)
     if kv_stream:
         kv_warmup(0)
@@ -598,7 +617,7 @@ def _mega_kernel(
             s_blk = None
             for ii in range(n_ic):
                 entry = sched[j]
-                slot = (l * n_sched + j) % NBUF
+                slot = (l * n_sched + j) % nbuf
                 chunk_dma(entry, l, slot).wait()
                 if ii == 0:
                     scale_dma(entry, l, slot).wait()
@@ -606,7 +625,7 @@ def _mega_kernel(
                         s_blk = sbufs[slot, :, :co]    # [8, co] group scales
                     else:
                         s_row = sbufs[slot, 0:1, :co]  # [1, co] f32
-                start(j + LOOKAHEAD, l)
+                start(j + la, l)
                 ci = entry[3]
                 if w4:
                     gsz = _int4_group_for(n_in)  # static, matches the pack
@@ -852,17 +871,17 @@ def _mega_kernel(
     best_idx = jnp.int32(0)
     # head chunk hi sits at global position L*n_sched + hi (static)
     for hi in range(n_hc):
-        slot = (L * n_sched + hi) % NBUF
+        slot = (L * n_sched + hi) % nbuf
         head_dma(hi, slot).wait()
         head_scale_dma(hi, slot).wait()
         if w4:
             s_blk = sbufs[slot, :, :co_h]
         else:
             s_row = sbufs[slot, 0:1, :co_h]
-        if hi + LOOKAHEAD < n_hc:
-            slot_n = (L * n_sched + hi + LOOKAHEAD) % NBUF
-            head_dma(hi + LOOKAHEAD, slot_n).start()
-            head_scale_dma(hi + LOOKAHEAD, slot_n).start()
+        if hi + la < n_hc:
+            slot_n = (L * n_sched + hi + la) % nbuf
+            head_dma(hi + la, slot_n).start()
+            head_scale_dma(hi + la, slot_n).start()
         if w4:
             gsz = _int4_group_for(H)
             w8 = pltpu.bitcast(
@@ -905,15 +924,29 @@ def _mega_kernel(
 _VMEM_BUDGET = 15_500_000
 
 
-def _mega_fixed_common(mega: dict, cfg: DecoderConfig) -> int:
+def _ring_geometry(w4: bool, batched: bool = False) -> tuple[int, int]:
+    """(nbuf, lookahead) for a weight stream. The int4 single-seq stream
+    uses the deeper measured-best ring (INT4_NBUF/INT4_LOOKAHEAD); the
+    batched kernel keeps the shallow ring for BOTH pack types — its VMEM
+    is dominated by the NSLAB KV slabs and its weight stream is amortized
+    over the batch, so ring depth buys it little."""
+    if w4 and not batched:
+        return INT4_NBUF, INT4_LOOKAHEAD
+    return NBUF, LOOKAHEAD
+
+
+def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
+                       batched: bool = False) -> int:
     """VMEM bytes shared by the single-seq and batched megakernels that
     do not scale with context length or batch: the weight/scale DMA rings
-    (sized by the largest scheduled chunk) and the resident norm tables.
-    One implementation so the two `*_max_context` estimators cannot
-    drift apart (they must mirror the kernels' scratch shapes exactly)."""
+    (sized by the largest scheduled chunk and the kernel's ring depth)
+    and the resident norm tables. One implementation so the two
+    `*_max_context` estimators cannot drift apart (they must mirror the
+    kernels' scratch shapes exactly)."""
     H = cfg.hidden_size
     L = cfg.n_layers
     w4 = mega["qkv_q"].shape[2] == H // 2
+    nbuf, _ = _ring_geometry(w4, batched)
     co_h = mega["head_q"].shape[2]
     co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
                          for m in ("qkv", "wo", "gu", "wd")))
@@ -922,8 +955,8 @@ def _mega_fixed_common(mega: dict, cfg: DecoderConfig) -> int:
                       for m in ("qkv", "wo", "gu", "wd")))
     buf_rows = ci_max // 2 if w4 else ci_max
     return (
-        NBUF * buf_rows * co_max          # weight ring (int8)
-        + NBUF * 8 * co_max * 4           # scale ring
+        nbuf * buf_rows * co_max          # weight ring (int8)
+        + nbuf * 8 * co_max * 4           # scale ring
         + L * 8 * H * 4 + H * 4           # norms + out_norm
     )
 
@@ -1038,10 +1071,11 @@ def _mega_call(
         raise ValueError(
             f"KV_LOOKAHEAD ({KV_LOOKAHEAD}) must be < KVSLOTS ({KVSLOTS})")
 
+    nbuf, la = _ring_geometry(w4)
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
         n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8,
-        kv_i4=kv_i4, w4=w4, kv_stream=kv_stream)
+        kv_i4=kv_i4, w4=w4, kv_stream=kv_stream, nbuf=nbuf, la=la)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -1095,14 +1129,14 @@ def _mega_call(
             jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),  # weight ring
-            pltpu.VMEM((NBUF, 8, co_max), jnp.float32),     # scale ring
+            pltpu.VMEM((nbuf, buf_rows, co_max), jnp.int8),  # weight ring
+            pltpu.VMEM((nbuf, 8, co_max), jnp.float32),     # scale ring
             pltpu.VMEM(kv_buf_shape, k_cache.dtype),
             pltpu.VMEM(kv_buf_shape, v_cache.dtype),
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # k scales
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # v scales
-            pltpu.SemaphoreType.DMA((NBUF,)),               # weight sems
-            pltpu.SemaphoreType.DMA((NBUF,)),               # scale sems
+            pltpu.SemaphoreType.DMA((nbuf,)),               # weight sems
+            pltpu.SemaphoreType.DMA((nbuf,)),               # scale sems
             pltpu.SemaphoreType.DMA(kv_sem_shape),          # k/v sems
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

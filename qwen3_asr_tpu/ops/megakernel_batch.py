@@ -30,6 +30,7 @@ from qwen3_asr_tpu.config import DecoderConfig
 from qwen3_asr_tpu.ops.megakernel import (
     CHUNK_IN,
     KV_BLOCK,
+    KVSLOTS,
     LOOKAHEAD,
     NBUF,
     _NEG,
@@ -72,7 +73,7 @@ def mega_batch_max_context(mega: dict, cfg, batch: int = 16) -> int:
     L = cfg.n_layers
     B = max(1, int(batch))
     fixed = (
-        _mega_fixed_common(mega, cfg)     # weight/scale rings + norms
+        _mega_fixed_common(mega, cfg, batched=True)  # rings + norms
         + B * (2 * L * 8 * DKV            # fresh K/V outputs [B, L, 8, .]
                + 2 * L * 8 * NKV * 4      # fresh scales
                + H * 4 + H * 2 + 4)       # h_out + x + tok_out per seq
@@ -80,6 +81,30 @@ def mega_batch_max_context(mega: dict, cfg, batch: int = 16) -> int:
     per_row = NSLAB * 2 * DKV + NSLAB * 2 * NKV * 4  # int8 k+v + f32 scales
     s_max = (_VMEM_BUDGET_BATCH - fixed) // per_row
     return max(0, int(s_max) // 128 * 128)
+
+
+def mega_batch_stream_max_batch(mega: dict, cfg) -> int:
+    """Largest per-launch batch the STREAMED-KV batched kernel fits in
+    VMEM. Its KV ring is O(1) in context length (KVSLOTS KV_BLOCK-row
+    tiles), so the only B-linear VMEM is the per-sequence outputs (fresh
+    K/V rows + scales, h_out, x) — context length never appears. Callers
+    chunk long-context batches to this launch size instead of falling to
+    the vmapped XLA step."""
+    from qwen3_asr_tpu.ops.megakernel import _mega_fixed_common
+
+    H = cfg.hidden_size
+    NKV = cfg.n_kv_heads
+    DKV = NKV * cfg.head_dim
+    L = cfg.n_layers
+    fixed = (
+        _mega_fixed_common(mega, cfg, batched=True)
+        + KVSLOTS * 2 * KV_BLOCK * DKV        # int8 k+v tile rings
+        + KVSLOTS * 2 * NKV * KV_BLOCK * 4    # f32 scale tile rings
+    )
+    per_seq = (2 * L * 8 * DKV                # fresh K/V outputs
+               + 2 * L * 8 * NKV * 4          # fresh scales
+               + H * 4 + H * 2 + 4)           # h_out + x + tok_out
+    return max(0, int((_VMEM_BUDGET_BATCH - fixed) // per_seq))
 
 
 def _mega_batch_kernel(
@@ -100,11 +125,14 @@ def _mega_batch_kernel(
     # scratch
     wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
     sbufs,              # VMEM [NBUF, 8, co_max] f32
-    kbuf, vbuf,         # VMEM [NSLAB, S, DKV] int8 KV slab rings
-    ksbuf, vsbuf,       # VMEM [NSLAB, NKV, S] f32 scale slab rings
+    kbuf, vbuf,         # VMEM KV rings: [NSLAB, S, DKV] whole slabs
+                        # (resident) or [KVSLOTS, KV_BLOCK, DKV] tiles
+                        # (kv_stream)
+    ksbuf, vsbuf,       # VMEM scale rings: [NSLAB, NKV, S] (resident) or
+                        # [KVSLOTS, NKV, KV_BLOCK] (kv_stream)
     sems, ssems, kv_sems,
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L, B,
-    kv_blocks, w4: bool,
+    kv_blocks, w4: bool, kv_stream: bool,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -165,59 +193,102 @@ def _mega_batch_kernel(
                     head_dma(wrapped, slot).start()
                     head_scale_dma(wrapped, slot).start()
 
-    # ---- KV slab ring: slot g = (l * B + b) % NSLAB per stream ----------
     kv_streams = [(k_in, kbuf, "rows"), (v_in, vbuf, "rows"),
                   (ks_in, ksbuf, "scales"), (vs_in, vsbuf, "scales")]
 
-    def kv_copy(l, b, which, blk, slot):
-        sb, cb = kv_blocks[blk]
-        src_hbm, dst_vmem, kind = kv_streams[which]
-        if kind == "rows":
-            src = src_hbm.at[b, l, pl.ds(sb, cb), :]
-            dst = dst_vmem.at[slot, pl.ds(sb, cb), :]
-        else:
-            src = src_hbm.at[b, l, :, pl.ds(sb, cb)]
-            dst = dst_vmem.at[slot, :, pl.ds(sb, cb)]
-        return pltpu.make_async_copy(src, dst,
-                                     kv_sems.at[which, slot, blk])
+    if kv_stream:
+        # ---- streamed-KV ring (long contexts): per-seq KV_BLOCK tiles
+        # fold through an online softmax, VMEM O(1) in S. The KVSLOTS
+        # ring splits into two halves by SEQUENCE PARITY: while seq b
+        # folds its half, seq b+1's warmup streams into the other half —
+        # cross-sequence overlap without cross-sequence slot hazards
+        # (the previous user of a half, seq b-1, fully consumed it
+        # before seq b's iteration starts in program order).
+        KVB = KV_BLOCK
+        half = KVSLOTS // 2
+        la_kv = half - 1
 
-    def kv_start(l, b):
-        """Issue seq b's four KV streams for layer l (block-gated on
-        pos[b]). b is STATIC; l may be dynamic."""
-        slot = b % NSLAB
-        p = pos_ref[b]
-        for blk in range(n_kvb):
-            sb, _ = kv_blocks[blk]
+        def nlive_of(b):
+            # blocks holding any live row; clamp like the single-seq ring
+            return jnp.minimum((pos_ref[b] + (KVB - 1)) // KVB, S // KVB)
 
-            @pl.when(sb < p)
-            def _():
-                for w in range(4):
-                    kv_copy(l, b, w, blk, slot).start()
+        def kv_copy_s(l, b, which, blk, slot):
+            src_hbm, dst_vmem, kind = kv_streams[which]
+            if kind == "rows":
+                src = src_hbm.at[b, l, pl.ds(blk * KVB, KVB), :]
+            else:  # block-major scales [B, L, NB, NKV, KVB]
+                src = src_hbm.at[b, l, blk]
+            return pltpu.make_async_copy(src, dst_vmem.at[slot],
+                                         kv_sems.at[which, slot])
 
-    def kv_wait(l, b):
-        slot = b % NSLAB
-        p = pos_ref[b]
-        for blk in range(n_kvb):
-            sb, _ = kv_blocks[blk]
+        def kv_start_blk(l, b, blk):
+            slot = jax.lax.rem(blk, half) + (b % 2) * half
+            for w in range(4):
+                kv_copy_s(l, b, w, blk, slot).start()
 
-            @pl.when(sb < p)
-            def _():
-                for w in range(4):
-                    kv_copy(l, b, w, blk, slot).wait()
+        def kv_warmup(l, b):
+            nl = nlive_of(b)
+            for j in range(la_kv):
+                @pl.when(j < nl)
+                def _():
+                    kv_start_blk(l, b, jnp.int32(j))
+    else:
+        # ---- resident KV slab ring: slot = b % NSLAB per stream --------
+        def kv_copy(l, b, which, blk, slot):
+            sb, cb = kv_blocks[blk]
+            src_hbm, dst_vmem, kind = kv_streams[which]
+            if kind == "rows":
+                src = src_hbm.at[b, l, pl.ds(sb, cb), :]
+                dst = dst_vmem.at[slot, pl.ds(sb, cb), :]
+            else:
+                src = src_hbm.at[b, l, :, pl.ds(sb, cb)]
+                dst = dst_vmem.at[slot, :, pl.ds(sb, cb)]
+            return pltpu.make_async_copy(src, dst,
+                                         kv_sems.at[which, slot, blk])
+
+        def kv_start(l, b):
+            """Issue seq b's four KV streams for layer l (block-gated on
+            pos[b]). b is STATIC; l may be dynamic."""
+            slot = b % NSLAB
+            p = pos_ref[b]
+            for blk in range(n_kvb):
+                sb, _ = kv_blocks[blk]
+
+                @pl.when(sb < p)
+                def _():
+                    for w in range(4):
+                        kv_copy(l, b, w, blk, slot).start()
+
+        def kv_wait(l, b):
+            slot = b % NSLAB
+            p = pos_ref[b]
+            for blk in range(n_kvb):
+                sb, _ = kv_blocks[blk]
+
+                @pl.when(sb < p)
+                def _():
+                    for w in range(4):
+                        kv_copy(l, b, w, blk, slot).wait()
 
     # ---- warmup ---------------------------------------------------------
     for j in range(min(LOOKAHEAD, n_sched)):
         start(j, 0)
-    # zero the slab rings once: slabs are reused across (l, b) with
-    # per-sequence block gating, so any never-copied region must hold
-    # finite values (stale rows are masked; garbage could be NaN)
-    for s in range(NSLAB):
-        kbuf[s] = jnp.zeros((S, DKV), kbuf.dtype)
-        vbuf[s] = jnp.zeros((S, DKV), vbuf.dtype)
-        ksbuf[s] = jnp.zeros((NKV, S), jnp.float32)
-        vsbuf[s] = jnp.zeros((NKV, S), jnp.float32)
-    for b in range(min(NSLAB, B)):
-        kv_start(0, b)
+    if kv_stream:
+        # only seq 0: seq b+1's warmup is issued at the START of fold b
+        # (into the other ring half), giving cross-seq overlap without a
+        # third half to track
+        kv_warmup(0, 0)
+    else:
+        # zero the slab rings once: slabs are reused across (l, b) with
+        # per-sequence block gating, so any never-copied region must hold
+        # finite values (stale rows are masked; garbage could be NaN)
+        for s in range(NSLAB):
+            kbuf[s] = jnp.zeros((S, DKV), kbuf.dtype)
+            vbuf[s] = jnp.zeros((S, DKV), vbuf.dtype)
+            ksbuf[s] = jnp.zeros((NKV, S), jnp.float32)
+            vsbuf[s] = jnp.zeros((NKV, S), jnp.float32)
+        for b in range(min(NSLAB, B)):
+            kv_start(0, b)
 
     def stream_matmul(l, mat, xq, sx, j0):
         """[B, n_in] int8 rows x streamed chunks -> (f32 [B, n_out], j).
@@ -285,8 +356,6 @@ def _mega_batch_kernel(
 
         attn_rows = []
         for b in range(B):  # static
-            kv_wait(l, b)
-            slot = b % NSLAB
             p = pos_ref[b]
             rows = qkv[b].reshape(NH + 2 * NKV, D)
             q_all = _rope_row(
@@ -297,32 +366,111 @@ def _mega_batch_kernel(
                 p, theta)
             v_all = rows[NH + NKV:, :].astype(jnp.float32)
 
-            col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
-            valid = col < p
-            heads = []
-            for h in range(NKV):
-                q = q_all[h * group:(h + 1) * group, :]
-                kc = kbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32)
-                s_cache = jax.lax.dot_general(
-                    q, kc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s_cache = s_cache * ksbuf[slot, h:h + 1, :]
-                s_cache = jnp.where(valid, s_cache, _NEG)
-                k_fresh = k_all[h:h + 1, :]
-                s_fresh = jax.lax.dot_general(
-                    q, k_fresh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                m = jnp.maximum(
-                    jnp.max(s_cache, axis=1, keepdims=True), s_fresh)
-                p_cache = jnp.exp(s_cache - m)
-                p_fresh = jnp.exp(s_fresh - m)
-                denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
-                vc = vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32)
-                p_cache = p_cache * vsbuf[slot, h:h + 1, :]
-                o = jax.lax.dot_general(
-                    p_cache, vc, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
+            if kv_stream:
+                # seq b+1's warmup streams into the OTHER ring half while
+                # this fold runs
+                if b + 1 < B:
+                    kv_warmup(l, b + 1)
+                nl = nlive_of(b)
+                base = (b % 2) * half
+
+                def blk_fold(blk, carry, *, _b=b, _base=base, _nl=nl):
+                    m, den, acc = carry      # [NH,1], [NH,1], [NH,D]
+                    slot = jax.lax.rem(blk, half) + _base
+                    for w in range(4):
+                        kv_copy_s(l, _b, w, blk, slot).wait()
+
+                    @pl.when(blk + la_kv < _nl)
+                    def _():
+                        kv_start_blk(l, _b, blk + la_kv)
+
+                    kblk, vblk = kbuf[slot], vbuf[slot]   # [KVB, DKV]
+                    kst, vst = ksbuf[slot], vsbuf[slot]   # [NKV, KVB]
+                    col = blk * KVB + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, KVB), 1)
+                    vmask = col < p
+                    ms, dens, accs = [], [], []
+                    for h in range(NKV):  # static unroll
+                        q = q_all[h * group:(h + 1) * group, :]
+                        kc = kblk[:, h * D:(h + 1) * D].astype(jnp.float32)
+                        s = jax.lax.dot_general(
+                            q, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        s = s * kst[h:h + 1, :]
+                        s = jnp.where(vmask, s, _NEG)
+                        mh = m[h * group:(h + 1) * group, :]
+                        m_new = jnp.maximum(
+                            mh, jnp.max(s, axis=1, keepdims=True))
+                        corr = jnp.exp(mh - m_new)
+                        pr = jnp.exp(s - m_new)           # [group, KVB]
+                        den_new = (den[h * group:(h + 1) * group, :] * corr
+                                   + jnp.sum(pr, axis=1, keepdims=True))
+                        pr = pr * vst[h:h + 1, :]  # V row scales (den uses
+                        #                            the unscaled sum)
+                        vc = vblk[:, h * D:(h + 1) * D].astype(jnp.float32)
+                        o = jax.lax.dot_general(
+                            pr, vc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        accs.append(
+                            acc[h * group:(h + 1) * group, :] * corr + o)
+                        ms.append(m_new)
+                        dens.append(den_new)
+                    return (jnp.concatenate(ms, axis=0),
+                            jnp.concatenate(dens, axis=0),
+                            jnp.concatenate(accs, axis=0))
+
+                m0 = jnp.full((NH, 1), _NEG, jnp.float32)
+                den0 = jnp.zeros((NH, 1), jnp.float32)
+                acc0 = jnp.zeros((NH, D), jnp.float32)
+                m, den, acc = jax.lax.fori_loop(
+                    0, nl, blk_fold, (m0, den0, acc0))
+
+                # fresh K/V column folds in last
+                heads = []
+                for h in range(NKV):
+                    q = q_all[h * group:(h + 1) * group, :]
+                    s_f = jax.lax.dot_general(
+                        q, k_all[h:h + 1, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    mh = m[h * group:(h + 1) * group, :]
+                    m_f = jnp.maximum(mh, s_f)
+                    corr = jnp.exp(mh - m_f)
+                    p_f = jnp.exp(s_f - m_f)
+                    denom = den[h * group:(h + 1) * group, :] * corr + p_f
+                    o = (acc[h * group:(h + 1) * group, :] * corr
+                         + p_f * v_all[h:h + 1, :])
+                    heads.append(o / denom)
+            else:
+                kv_wait(l, b)
+                slot = b % NSLAB
+                col = jax.lax.broadcasted_iota(jnp.int32, (group, S), 1)
+                valid = col < p
+                heads = []
+                for h in range(NKV):
+                    q = q_all[h * group:(h + 1) * group, :]
+                    kc = kbuf[slot, :, h * D:(h + 1) * D].astype(
+                        jnp.float32)
+                    s_cache = jax.lax.dot_general(
+                        q, kc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s_cache = s_cache * ksbuf[slot, h:h + 1, :]
+                    s_cache = jnp.where(valid, s_cache, _NEG)
+                    k_fresh = k_all[h:h + 1, :]
+                    s_fresh = jax.lax.dot_general(
+                        q, k_fresh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    m = jnp.maximum(
+                        jnp.max(s_cache, axis=1, keepdims=True), s_fresh)
+                    p_cache = jnp.exp(s_cache - m)
+                    p_fresh = jnp.exp(s_fresh - m)
+                    denom = jnp.sum(p_cache, axis=1, keepdims=True) + p_fresh
+                    vc = vbuf[slot, :, h * D:(h + 1) * D].astype(
+                        jnp.float32)
+                    p_cache = p_cache * vsbuf[slot, h:h + 1, :]
+                    o = jax.lax.dot_general(
+                        p_cache, vc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
 
             # fresh rows (quantized like decoder._quantize_kv_rows)
             for rows_f32, out_q, out_s in ((k_all, fresh_k, fresh_ks),
@@ -334,17 +482,22 @@ def _mega_batch_kernel(
                 out_s[b, l, 0:1, :] = s8.reshape(1, NKV)
 
             # refill this slab with the next sequence needing it
-            if B > NSLAB:
+            if not kv_stream and B > NSLAB:
                 nb = b + NSLAB
                 if nb < B:
                     kv_start(l, nb)
             attn_rows.append(
                 jnp.concatenate(heads, axis=0).reshape(1, DQ))
-        # next layer's first slabs prefetch during this layer's MLP
-        for b in range(min(NSLAB, B)):
+        # next layer's first stream prefetches during this layer's MLP
+        if kv_stream:
             @pl.when(l + 1 < L)
             def _():
-                kv_start(l + 1, b)
+                kv_warmup(l + 1, 0)
+        else:
+            for b in range(min(NSLAB, B)):
+                @pl.when(l + 1 < L)
+                def _():
+                    kv_start(l + 1, b)
 
         attn = jnp.concatenate(attn_rows, axis=0)  # [B, DQ]
         attn_bf = attn.astype(jnp.bfloat16)
@@ -416,7 +569,7 @@ def _mega_batch_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "interpret"),
+    static_argnames=("cfg", "interpret", "kv_stream"),
     donate_argnames=("k_cache", "v_cache", "k_scale", "v_scale"),
 )
 def mega_decode_step_batch(
@@ -426,18 +579,37 @@ def mega_decode_step_batch(
     pos: jax.Array,      # [B] int32 — per-seq cache row / RoPE position
     k_cache: jax.Array,  # [B, L, S, DKV] int8
     v_cache: jax.Array,
-    k_scale: jax.Array,  # [B, L, NKV, S] f32
+    k_scale: jax.Array,  # [B, L, NKV, S] f32 (resident) or block-major
+                         # [B, L, S//KV_BLOCK, NKV, KV_BLOCK] (kv_stream)
     v_scale: jax.Array,
     interpret: bool = False,
+    kv_stream: bool = False,
 ):
     """-> (next_tokens [B] int32, k_cache, v_cache, k_scale, v_scale,
     h_dbg [B, H]). Same scatter contract as mega_decode_step_i8, per
-    sequence at its own position."""
+    sequence at its own position.
+
+    kv_stream=True: per-seq KV tiles fold through an online softmax on a
+    parity-halved KVSLOTS ring — VMEM O(1) in S, so B>8 x 92 s (and any
+    long-context batch) keeps the kernel instead of the ~4.8x-slower
+    vmapped XLA fallback (VERDICT r3 #2). Needs S % KV_BLOCK == 0 and the
+    block-major scale layout (block_kv_scales per sequence)."""
     B, L, S, DKV = k_cache.shape
     NKV = cfg.n_kv_heads
     H = cfg.hidden_size
     if S % 128 and not interpret:
         raise ValueError(f"batched megakernel needs S % 128 == 0 (got {S})")
+    if kv_stream:
+        if S % KV_BLOCK:
+            raise ValueError(
+                f"streamed-KV batched megakernel needs S % {KV_BLOCK} == 0 "
+                f"(got {S})")
+        want = (B, L, S // KV_BLOCK, NKV, KV_BLOCK)
+        if k_scale.shape != want or v_scale.shape != want:
+            raise ValueError(
+                f"kv_stream expects block-major [B, L, NB, NKV, "
+                f"{KV_BLOCK}] cache scales, got k={k_scale.shape} "
+                f"v={v_scale.shape}")
 
     w4 = mega["qkv_q"].shape[2] == H // 2  # int4 pack: in/2 byte rows
     shapes = {}
@@ -465,10 +637,20 @@ def mega_decode_step_batch(
 
     kernel = functools.partial(
         _mega_batch_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
-        n_hc=n_hc, co_h=co_h, V=V, L=L, B=B, kv_blocks=kv_blocks, w4=w4)
+        n_hc=n_hc, co_h=co_h, V=V, L=L, B=B, kv_blocks=kv_blocks, w4=w4,
+        kv_stream=kv_stream)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
+
+    if kv_stream:
+        kv_buf_shape = (KVSLOTS, KV_BLOCK, DKV)
+        kv_scale_shape = (KVSLOTS, NKV, KV_BLOCK)
+        kv_sem_shape = (4, KVSLOTS)
+    else:
+        kv_buf_shape = (NSLAB, S, DKV)
+        kv_scale_shape = (NSLAB, NKV, S)
+        kv_sem_shape = (4, NSLAB, len(kv_blocks))
 
     tok, h_dbg, fresh_k, fresh_v, fresh_ks, fresh_vs = pl.pallas_call(
         kernel,
@@ -493,13 +675,13 @@ def mega_decode_step_batch(
         scratch_shapes=[
             pltpu.VMEM((NBUF, buf_rows, co_max), jnp.int8),
             pltpu.VMEM((NBUF, 8, co_max), jnp.float32),
-            pltpu.VMEM((NSLAB, S, DKV), k_cache.dtype),
-            pltpu.VMEM((NSLAB, S, DKV), v_cache.dtype),
-            pltpu.VMEM((NSLAB, NKV, S), jnp.float32),
-            pltpu.VMEM((NSLAB, NKV, S), jnp.float32),
+            pltpu.VMEM(kv_buf_shape, k_cache.dtype),
+            pltpu.VMEM(kv_buf_shape, v_cache.dtype),
+            pltpu.VMEM(kv_scale_shape, jnp.float32),
+            pltpu.VMEM(kv_scale_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((4, NSLAB, len(kv_blocks))),
+            pltpu.SemaphoreType.DMA(kv_sem_shape),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -515,13 +697,24 @@ def mega_decode_step_batch(
     )
     # scatter each sequence's fresh row at its own position
     p = jnp.asarray(pos, jnp.int32)
+    z = jnp.int32(0)
     for b in range(k_cache.shape[0]):
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, fresh_k[b:b + 1, :, :1, :], (b, 0, p[b], 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, fresh_v[b:b + 1, :, :1, :], (b, 0, p[b], 0))
-        k_scale = jax.lax.dynamic_update_slice(
-            k_scale, fresh_ks[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
-        v_scale = jax.lax.dynamic_update_slice(
-            v_scale, fresh_vs[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
+        if kv_stream:
+            # block-major [B, L, NB, NKV, KVB]: element (p//KVB, :, p%KVB)
+            idx = (b, z, p[b] // KV_BLOCK, z, p[b] % KV_BLOCK)
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, fresh_ks[b:b + 1, :, 0, :].reshape(
+                    1, L, 1, NKV, 1), idx)
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, fresh_vs[b:b + 1, :, 0, :].reshape(
+                    1, L, 1, NKV, 1), idx)
+        else:
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, fresh_ks[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, fresh_vs[b:b + 1, :, 0, :, None], (b, 0, 0, p[b]))
     return tok[:, 0], k_cache, v_cache, k_scale, v_scale, h_dbg

@@ -221,19 +221,32 @@ def batched_transcribe_step(
         cache_dtype = jnp.int8
     use_mega_batch = ("mega" in dec_params and tp == 1
                       and cache_dtype == jnp.int8)
+    kv_stream = False
     if use_mega_batch:
-        # long-context guard: the batched kernel keeps NSLAB whole per-seq
-        # KV slabs in VMEM — past its budget the vmapped XLA step takes
-        # over (correct, slower)
-        from qwen3_asr_tpu.ops.megakernel_batch import mega_batch_max_context
+        # long-context routing: the resident kernel keeps NSLAB whole
+        # per-seq KV slabs in VMEM; past its budget the SAME kernel
+        # switches to streamed-KV mode (per-seq KV_BLOCK tiles + online
+        # softmax, VMEM O(1) in context) with a possibly smaller launch
+        # chunk — the vmapped XLA step (~4.8x slower aggregate) is only
+        # the last resort when even the stream's per-seq outputs don't fit
+        from qwen3_asr_tpu.ops.megakernel_batch import (
+            mega_batch_max_context,
+            mega_batch_stream_max_batch,
+        )
 
         S_need = -(-(tokens.shape[1] + max_tokens) // 128) * 128
         # per-launch batch: sequences run through the kernel in
         # <=mega_batch_limit chunks, and the kernel's VMEM outputs
         # (fresh K/V rows + scales) scale with that launch batch
         B_launch = min(tokens.shape[0], max(1, mega_batch_limit))
-        use_mega_batch = S_need <= mega_batch_max_context(
-            dec_params["mega"], cfg, batch=B_launch)
+        if S_need > mega_batch_max_context(
+                dec_params["mega"], cfg, batch=B_launch):
+            b_stream = mega_batch_stream_max_batch(dec_params["mega"], cfg)
+            if b_stream >= 1:
+                kv_stream = True
+                mega_batch_limit = min(mega_batch_limit, b_stream)
+            else:
+                use_mega_batch = False
     if use_mega_batch:
         from qwen3_asr_tpu.ops.support import has_pallas_tpu
 
@@ -266,7 +279,8 @@ def batched_transcribe_step(
                     e = min(tk.shape[0], s + lim)
                     o, nk = fn(
                         p, cfg, tk[s:e], npr[s:e], au[s:e], na[s:e],
-                        audio_offset, max_tokens, _mega_interpret)
+                        audio_offset, max_tokens, _mega_interpret,
+                        kv_stream)
                     outs.append(o)
                     nks.append(nk)
                 if len(outs) == 1:

@@ -1,0 +1,235 @@
+#!/usr/bin/env python3
+"""On-chip kernel correctness gate -> CHIPTEST.json (VERDICT r3 #6).
+
+All 200+ pytest tests run the Pallas kernels in INTERPRET mode on CPU
+(tests/conftest.py pins the platform); "interpret passed but Mosaic
+differs" was an open hole in the round loop. This gate runs the real
+Mosaic-compiled kernels on the chip and checks them against their XLA
+contracts:
+
+  1. mega_int8_vs_xla     — whole-loop greedy tokens through the int8
+                            megakernel == the XLA int8pc decode loop
+                            (same weights, same activation-quant math;
+                            scripts/time_mega.py's parity check, gated)
+  2. mega_stream_vs_resident — int4-weight megakernel in streamed-KV mode
+                            == resident mode (same weights, same cache,
+                            different attention structure)
+  3. flash_vs_xla         — Pallas flash attention (encoder shapes,
+                            non-causal + causal) vs ops/attention.py's
+                            einsum reference, f32-level tolerance
+
+bench.py invokes run_chipgate() after timing (QWEN3_CHIPGATE=0 skips) so
+every driver round emits the artifact next to BENCH_rN.json; it is also
+runnable standalone: python scripts/chipgate.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+# small shapes keep the gate's extra compiles cheap (~minutes on the
+# tunnel, cached across rounds) while still exercising the real 0.6B
+# layer shapes — only prompt/steps shrink, never hidden/head dims
+PROMPT = int(os.environ.get("CHIPGATE_PROMPT", "256"))
+STEPS = int(os.environ.get("CHIPGATE_STEPS", "16"))
+
+
+def _gate_mega_vs_xla(jax, jnp, cfg, dec_int8, audio, n_audio, toks,
+                      n_prompt):
+    """Greedy tokens: int8 megakernel whole loop == XLA int8pc loop."""
+    from qwen3_asr_tpu.models.generate import generate_greedy
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+
+    dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
+    dec_xla = {k: v for k, v in dec_int8.items() if k != "mega"}
+    out_x, _ = generate_greedy(
+        jax.device_put(dec_xla), dcfg, toks, jnp.int32(n_prompt), audio,
+        jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
+    dec_mega = dict(dec_int8)
+    dec_mega["mega"] = pack_megakernel_params(dec_int8, cfg.decoder)
+    out_m, _ = generate_greedy(
+        jax.device_put(dec_mega), dcfg, toks, jnp.int32(n_prompt), audio,
+        jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
+    a, b = np.asarray(out_x), np.asarray(out_m)
+    n_match = int((a == b).sum())
+    return {"pass": bool((a == b).all()),
+            "tokens": STEPS, "matched": n_match,
+            "xla_head": a[:8].tolist(), "mega_head": b[:8].tolist()}
+
+
+def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
+                             toks, n_prompt):
+    """int4-weight megakernel: streamed-KV attention == resident slabs.
+    Same weights, same int8 cache; only the kernel's KV structure differs
+    (flash-decoding ring vs whole-slab VMEM residency)."""
+    from qwen3_asr_tpu.models.generate import generate_greedy
+    from qwen3_asr_tpu.ops import megakernel as mk
+
+    dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
+    dec_mega = dict(dec_int8)
+    dec_mega["mega"] = mk.pack_megakernel_params(dec_int8, cfg.decoder,
+                                                 int4=True)
+    dec_mega = jax.device_put(dec_mega)
+    P = toks.shape[0]
+    S = -(-(P + STEPS) // mk.KV_BLOCK) * mk.KV_BLOCK
+    L = cfg.decoder.n_layers
+    DKV = cfg.decoder.n_kv_heads * cfg.decoder.head_dim
+
+    from qwen3_asr_tpu.models.generate import prefill_only
+
+    import jax as _jax
+
+    prefill_jit = _jax.jit(
+        prefill_only,
+        static_argnames=("cfg", "audio_offset", "cache_len", "cache_dtype"))
+
+    outs = {}
+    for stream in (False, True):
+        tok0, cache = prefill_jit(
+            dec_mega, cfg.decoder, toks, jnp.int32(n_prompt), audio,
+            jnp.int32(n_audio), audio_offset=3, cache_len=S,
+            cache_dtype=jnp.int8)
+        k3 = cache["k"].reshape(L, S, DKV)
+        v3 = cache["v"].reshape(L, S, DKV)
+        if stream:
+            ks = mk.block_kv_scales(cache["k_s"])
+            vs = mk.block_kv_scales(cache["v_s"])
+        else:
+            ks = cache["k_s"].transpose(0, 2, 1)
+            vs = cache["v_s"].transpose(0, 2, 1)
+        seq = [int(tok0)]
+        tok = tok0
+        for i in range(STEPS - 1):
+            x = jnp.take(dec_mega["token_embd"], tok[None], axis=0)
+            tok, k3, v3, ks, vs, _ = mk.mega_decode_step_i8(
+                dec_mega["mega"], cfg.decoder, x,
+                jnp.int32(int(n_prompt) + i), k3, v3, ks, vs,
+                kv_stream=stream)
+            seq.append(int(tok))
+        outs[stream] = seq
+    match = outs[False] == outs[True]
+    return {"pass": bool(match), "tokens": STEPS,
+            "resident_head": outs[False][:8], "stream_head": outs[True][:8]}
+
+
+def _gate_flash_vs_xla(jax, jnp, cfg):
+    """Pallas flash attention vs the einsum reference at encoder shapes."""
+    from qwen3_asr_tpu.ops.attention import causal_mask, mha_attention
+    from qwen3_asr_tpu.ops.pallas_attention import flash_attention
+
+    ecfg = cfg.encoder
+    T, NH, D = 2048, ecfg.n_heads, ecfg.hidden_size // ecfg.n_heads
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((T, NH, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, NH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, NH, D)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(D))
+    valid = jnp.int32(T - 100)  # exercise the valid_len masking too
+    worst = 0.0
+    for causal in (False, True):
+        got = jax.jit(flash_attention, static_argnames=(
+            "causal", "scale"))(q, k, v, valid, causal=causal, scale=scale)
+        col = jnp.arange(T)[None, :] < valid
+        mask = col & causal_mask(T, T, 0, valid) if causal else (
+            jnp.broadcast_to(col, (T, T)))
+        want = mha_attention(q, k, v, mask, scale)
+        d = float(jnp.max(jnp.abs(
+            got[: T - 100].astype(jnp.float32)
+            - want[: T - 100].astype(jnp.float32))))
+        worst = max(worst, d)
+    return {"pass": worst < 2e-3, "max_abs_diff": worst, "tol": 2e-3}
+
+
+def run_chipgate(out_path: str = "CHIPTEST.json") -> dict:
+    """Run all gates; write the artifact; return it. Never raises — a
+    crashed gate is recorded as failed with its error string."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.config import ASRModelConfig
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        init_asr_params,
+        quantize_decoder_params,
+    )
+
+    t0 = time.perf_counter()
+    result = {
+        "metric": "chipgate",
+        "device": str(jax.devices()[0]),
+        "has_pallas_tpu": bool(has_pallas_tpu()),
+        "prompt": PROMPT, "steps": STEPS,
+        "gates": {},
+    }
+    if not result["has_pallas_tpu"]:
+        result["skipped"] = "no TPU backend — gates need Mosaic"
+        result["pass"] = False
+        _write(out_path, result)
+        return result
+
+    cfg = ASRModelConfig()
+    params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+    dec = quantize_decoder_params(
+        jax.tree.map(np.asarray, params["decoder"]), "int8pc")
+    dec = fuse_decoder_params(dec)
+
+    rng = np.random.default_rng(1)
+    n_audio = PROMPT - 40
+    audio = jnp.asarray(
+        rng.standard_normal((n_audio, cfg.decoder.hidden_size)) * 0.1,
+        jnp.bfloat16)
+    prompt = ([5, 6, cfg.decoder.audio_start_token_id]
+              + [cfg.decoder.audio_pad_token_id] * n_audio
+              + [cfg.decoder.audio_end_token_id] + [7] * 20)
+    toks = np.full(PROMPT, cfg.decoder.pad_token_id, np.int32)
+    toks[: len(prompt)] = prompt
+    toks = jnp.asarray(toks)
+    n_prompt = len(prompt)
+
+    gates = (
+        ("mega_int8_vs_xla", _gate_mega_vs_xla,
+         (jax, jnp, cfg, dec, audio, n_audio, toks, n_prompt)),
+        ("mega_stream_vs_resident", _gate_stream_vs_resident,
+         (jax, jnp, cfg, dec, audio, n_audio, toks, n_prompt)),
+        ("flash_vs_xla", _gate_flash_vs_xla, (jax, jnp, cfg)),
+    )
+    for name, fn, args in gates:
+        t1 = time.perf_counter()
+        try:
+            g = fn(*args)
+        except Exception as e:  # noqa: BLE001 — record, don't crash bench
+            g = {"pass": False, "error": f"{type(e).__name__}: {e}"}
+        g["seconds"] = round(time.perf_counter() - t1, 1)
+        result["gates"][name] = g
+        print(f"chipgate: {name}: {'PASS' if g['pass'] else 'FAIL'} "
+              f"({g['seconds']}s)", file=sys.stderr, flush=True)
+
+    result["pass"] = all(g["pass"] for g in result["gates"].values())
+    result["total_seconds"] = round(time.perf_counter() - t0, 1)
+    _write(out_path, result)
+    return result
+
+
+def _write(path, result):
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    r = run_chipgate()
+    print(json.dumps({"pass": r.get("pass"),
+                      "gates": {k: v.get("pass")
+                                for k, v in r.get("gates", {}).items()}}))
+    sys.exit(0 if r.get("pass") else 1)

@@ -43,7 +43,9 @@ x = jnp.ones((1, dcfg.hidden_size), jnp.bfloat16)
 
 
 def time_cfg(chunk_out, nbuf, lookahead, chunk_in=1024):
-    mk.CHUNK_OUT, mk.NBUF, mk.LOOKAHEAD, mk.CHUNK_IN = (
+    # the int4 stream reads the INT4_* geometry constants
+    # (megakernel._ring_geometry / pack chunk width)
+    mk.INT4_CHUNK_OUT, mk.INT4_NBUF, mk.INT4_LOOKAHEAD, mk.CHUNK_IN = (
         chunk_out, nbuf, lookahead, chunk_in)
     mega = jax.device_put(mk.pack_megakernel_params(dec, dcfg, int4=True))
 

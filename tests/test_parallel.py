@@ -269,3 +269,47 @@ def test_batched_mega_vmem_guard_falls_back(setup, monkeypatch):
         cache_dtype=jnp.int8)
     np.testing.assert_array_equal(np.asarray(nk_g), np.asarray(nk_x))
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_x))
+
+
+def test_batched_mega_long_context_takes_stream(setup, monkeypatch):
+    """Long-context routing (VERDICT r3 #2): when the resident per-seq KV
+    slabs no longer fit (forced here by zeroing the resident estimator)
+    but the streamed kernel's per-seq outputs do, batched_transcribe_step
+    must keep the megakernel in kv_stream mode — tokens identical to the
+    no-megakernel XLA run — instead of the ~4.8x-slower vmapped fallback."""
+    from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+    from qwen3_asr_tpu.runtime.params import (
+        fuse_decoder_params,
+        init_decoder_params,
+        quantize_decoder_params,
+    )
+
+    cfg = tiny_asr_config().decoder
+    dec = init_decoder_params(cfg, jax.random.PRNGKey(3), jnp.bfloat16)
+    dec = jax.tree.map(np.asarray, dec)
+    dec = fuse_decoder_params(quantize_decoder_params(dec, "int8pc"))
+    dec["mega"] = pack_megakernel_params(dec, cfg)
+
+    from qwen3_asr_tpu.ops import megakernel_batch as MB
+
+    assert MB.mega_batch_stream_max_batch(dec["mega"], cfg) >= 1
+    monkeypatch.setattr(MB, "mega_batch_max_context",
+                        lambda *a, **k: 0)
+
+    B, Pr, MAX = 2, 16, 4
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(1, 200, (B, Pr)), jnp.int32)
+    n_prompt = jnp.asarray([12, 16], jnp.int32)
+    audio = jnp.zeros((B, 4, cfg.hidden_size), jnp.bfloat16)
+    n_audio = jnp.zeros((B,), jnp.int32)
+
+    out_g, nk_g = batched_transcribe_step(
+        dec, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,
+        cache_dtype=jnp.int8, _mega_interpret=True)
+
+    dec_nomega = {k: v for k, v in dec.items() if k != "mega"}
+    out_x, nk_x = batched_transcribe_step(
+        dec_nomega, cfg, tokens, n_prompt, audio, n_audio, 0, MAX,
+        cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(nk_g), np.asarray(nk_x))
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_x))
