@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "--transcribe-align): the reference's words JSON "
                         "(default), or SubRip / WebVTT subtitles built "
                         "from the word timestamps")
+    p.add_argument("--save-mel", default="", metavar="PATH",
+                   help="Debug hook: also write the input's log-mel "
+                        "spectrogram as a .npy ([n_mels, n_frames] f32, "
+                        "the golden-file layout of mel_spectrogram.h:34-65 "
+                        "/ tests/compare.py) before running the selected "
+                        "mode")
     return p
 
 
@@ -175,6 +181,34 @@ def main(argv: list[str] | None = None) -> int:
         if args.output_format == "vtt":
             return words_to_vtt(result.words)
         return alignment_to_json(result)
+
+    if args.save_mel:
+        # debug hook (mel_spectrogram.h:34-65 save_npy parity): dump the
+        # input's log-mel as .npy in the golden-file layout
+        # ([n_mels, n_frames] f32 — what tests/compare.py diffs against
+        # the HF generate_reference.py mel.npy), then continue with the
+        # selected mode
+        import numpy as np
+
+        from qwen3_asr_tpu.audio import (
+            generate_mel_filters,
+            load_wav,
+            log_mel_spectrogram,
+        )
+        from qwen3_asr_tpu.config import SAMPLE_RATE
+
+        try:
+            samples, sr = load_wav(args.audio, raw_int16=True)
+        except Exception as e:
+            _eprint(f"Error: Failed to load audio file: {e}")
+            return 1
+        if sr != SAMPLE_RATE:
+            _eprint(f"Error: Audio must be 16kHz, got {sr} Hz")
+            return 1
+        mel = log_mel_spectrogram(samples, generate_mel_filters())
+        np.save(args.save_mel, np.asarray(mel, np.float32))
+        _eprint(f"Mel spectrogram saved: {args.save_mel} "
+                f"(shape {mel.shape[0]}x{mel.shape[1]})")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

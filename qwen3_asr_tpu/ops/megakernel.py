@@ -45,20 +45,26 @@ NBUF = 3          # weight ring slots (int8 stream)
 LOOKAHEAD = 2     # DMAs in flight ahead of compute (must be < NBUF)
 CHUNK_IN = 1024   # max rows per weight chunk (the hidden size)
 CHUNK_OUT = 2048  # max cols per weight chunk (int8 stream)
-# int4 stream geometry (single-seq kernel): nibble-packed chunks carry
+# int4 stream ring depth (single-seq kernel): nibble-packed chunks carry
 # HALF the bytes of int8 at the same chunk count, so per-DMA fixed cost
 # doubles as a fraction and the 2-deep ring stops hiding HBM latency —
 # measured 71.4% of peak vs int8's 78.8% (VERDICT r3 #1). On-chip sweep
-# (scripts/sweep_mega_int4.py, 92 s workload): doubling the chunk width
-# restores int8's 2 MB DMAs and a 4-deep lookahead (~8 MB in flight)
-# hides the rest — 0.657 vs 0.763 ms/step in the sweep harness, vs
-# 0.680 for depth alone (co=2048, la=8) and 0.781 for width alone
-# (co=4096, la=2). The batched kernel keeps NBUF/LOOKAHEAD: its VMEM is
-# dominated by the NSLAB KV slabs and its weight stream is amortized
-# over the batch.
-INT4_CHUNK_OUT = 4096
-INT4_NBUF = 5
-INT4_LOOKAHEAD = 4
+# (scripts/sweep_mega_int4.py, 92 s workload, interleaved trials): what
+# matters is BYTES IN FLIGHT (~8 MB) — (co=2048, nbuf=10, la=8) and
+# (co=4096, nbuf=5, la=4) both measure 0.66-0.68 ms/step vs 0.76-0.77
+# for the old (2048, 3, 2); la=2 at any width stays >=0.76; nbuf=12
+# fails to compile (VMEM). Adopted: depth at the UNCHANGED chunk width
+# (the pack layout stays co=2048, so the batched kernel — which shares
+# the pack but keeps the shallow NBUF ring, being slab-dominated and
+# batch-amortized — is unaffected), and the depth ADAPTS to the VMEM the
+# context leaves free (_int4_ring_depth): 10-deep at the 92 s headline
+# shape, stepping down toward 3 as the resident KV slabs grow, so the
+# resident window (mega_max_context) is unchanged — long audio degrades
+# ring depth first, and only past the minimal-ring ceiling switches to
+# streamed-KV mode.
+INT4_CHUNK_OUT = 2048
+INT4_NBUF = 10     # measured-best depth when VMEM allows
+INT4_NBUF_MIN = 3  # residency floor: matches the int8 ring
 KV_BLOCK = 256    # KV-cache DMA granularity (rows); blocks whose start is
                   # past `pos` are never streamed — the KV read scales with
                   # the live context, not the allocated cache
@@ -917,36 +923,19 @@ def _mega_kernel(
 
 # VMEM the kernel may plan against (v5e: ~16 MiB per core). Calibrated to
 # evidence, not guessed: the largest estimator footprint that demonstrably
-# compiled AND ran on this chip is the bf16-KV step at the 92 s workload
-# (S=1664 -> ~15.24 MB, the round-2 driver-benched config), so the budget
-# must admit it; scripts/probe_vmem_limit.py finds the true ceiling by
-# AOT-compiling larger S (raise this once it reports).
-_VMEM_BUDGET = 15_500_000
+# compiled AND ran on this chip is the 10-deep int4 ring at the 92 s
+# int8-KV workload (S=1664 -> ~16.07 MB estimator bytes, the round-4
+# geometry sweep; the 12-deep ring at ~18.3 MB failed to compile), so the
+# budget must admit it; scripts/probe_vmem_limit.py finds the true
+# ceiling by AOT-compiling larger S (raise this once it reports).
+_VMEM_BUDGET = 16_100_000
 
 
-def _ring_geometry(w4: bool, batched: bool = False) -> tuple[int, int]:
-    """(nbuf, lookahead) for a weight stream. The int4 single-seq stream
-    uses the deeper measured-best ring (INT4_NBUF/INT4_LOOKAHEAD); the
-    batched kernel keeps the shallow ring for BOTH pack types — its VMEM
-    is dominated by the NSLAB KV slabs and its weight stream is amortized
-    over the batch, so ring depth buys it little."""
-    if w4 and not batched:
-        return INT4_NBUF, INT4_LOOKAHEAD
-    return NBUF, LOOKAHEAD
-
-
-def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
-                       batched: bool = False) -> int:
-    """VMEM bytes shared by the single-seq and batched megakernels that
-    do not scale with context length or batch: the weight/scale DMA rings
-    (sized by the largest scheduled chunk and the kernel's ring depth)
-    and the resident norm tables. One implementation so the two
-    `*_max_context` estimators cannot drift apart (they must mirror the
-    kernels' scratch shapes exactly)."""
+def _ring_slot_bytes(mega: dict, cfg: DecoderConfig) -> int:
+    """VMEM bytes of ONE weight-ring slot (int8 tile + its 8-row f32
+    scale block), sized by the largest scheduled chunk."""
     H = cfg.hidden_size
-    L = cfg.n_layers
     w4 = mega["qkv_q"].shape[2] == H // 2
-    nbuf, _ = _ring_geometry(w4, batched)
     co_h = mega["head_q"].shape[2]
     co_max = max(co_h, *(mega[f"{m}_q"].shape[3]
                          for m in ("qkv", "wo", "gu", "wd")))
@@ -954,10 +943,39 @@ def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
                           mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
                       for m in ("qkv", "wo", "gu", "wd")))
     buf_rows = ci_max // 2 if w4 else ci_max
+    return buf_rows * co_max + 8 * co_max * 4
+
+
+def _int4_ring_depth(slot_bytes: int, resident_bytes: int) -> tuple[int,
+                                                                    int]:
+    """(nbuf, lookahead) for the int4 single-seq weight ring: as deep as
+    the VMEM the non-ring residents leave free, clamped to the measured
+    sweet spot [INT4_NBUF_MIN, INT4_NBUF]. Long contexts (bigger KV
+    slabs) get a shallower ring instead of losing residency; the sweep's
+    depth curve is monotone (3: 0.766, 5: 0.711, 6: 0.698, 8: 0.686,
+    10: 0.664 ms/step), so any affordable depth strictly helps."""
+    nbuf = int((_VMEM_BUDGET - resident_bytes) // max(slot_bytes, 1))
+    nbuf = max(INT4_NBUF_MIN, min(INT4_NBUF, nbuf))
+    # lookahead: nbuf-2 measured best at depth >= 8 ((8,6) beats (8,7));
+    # at the shallow end keep the int8 ring's nbuf-1
+    return nbuf, (nbuf - 2 if nbuf >= 5 else nbuf - 1)
+
+
+def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
+                       nbuf: int = NBUF) -> int:
+    """VMEM bytes shared by the single-seq and batched megakernels that
+    do not scale with context length or batch: the weight/scale DMA rings
+    (sized by the largest scheduled chunk and the given ring depth) and
+    the resident norm tables. One implementation so the `*_max_context`
+    estimators cannot drift apart (they must mirror the kernels' scratch
+    shapes exactly). Estimators pass the MINIMAL depth for w4 packs
+    (INT4_NBUF_MIN): the adaptive ring shrinks before residency is
+    given up, so the ceiling is set by the smallest ring."""
+    H = cfg.hidden_size
+    L = cfg.n_layers
     return (
-        nbuf * buf_rows * co_max          # weight ring (int8)
-        + nbuf * 8 * co_max * 4           # scale ring
-        + L * 8 * H * 4 + H * 4           # norms + out_norm
+        nbuf * _ring_slot_bytes(mega, cfg)  # weight + scale rings
+        + L * 8 * H * 4 + H * 4             # norms + out_norm
     )
 
 
@@ -1071,7 +1089,30 @@ def _mega_call(
         raise ValueError(
             f"KV_LOOKAHEAD ({KV_LOOKAHEAD}) must be < KVSLOTS ({KVSLOTS})")
 
-    nbuf, la = _ring_geometry(w4)
+    if w4:
+        # adaptive int4 ring depth: everything resident besides the ring —
+        # KV buffers (whole slabs or stream tiles), their scales, norms,
+        # fresh outputs, x/h — then as many slots as the budget allows
+        kv_bytes = 1 if (kv_i8 or kv_i4) else 2
+        if kv_stream:
+            kv_res = (2 * KVSLOTS * (KV_BLOCK // (2 if kv_i4 else 1)) * DKV
+                      + 2 * KVSLOTS * NKV * KV_BLOCK * 4)
+        else:
+            kv_res = (2 * Sp * DKV * kv_bytes
+                      + (2 * NKV * S * 4 if (kv_i8 or kv_i4) else 0))
+        resident = (kv_res
+                    + L * 8 * H * 4 + H * 4        # norms + out_norm
+                    + 2 * L * 8 * DKV * kv_bytes   # fresh K/V outputs
+                    + 2 * L * 8 * NKV * 4          # fresh scales
+                    + H * 4 + H * 2)               # h_dbg + x
+        nbuf, la = _int4_ring_depth(_ring_slot_bytes(mega, cfg), resident)
+        # lookahead may span at most ONE layer boundary: start(j + la)
+        # resolves wrapped = j + la - n_sched against layer l+1's schedule,
+        # so la > n_sched would index past it (tiny test configs have
+        # n_sched < INT4_NBUF; the real 0.6B schedule has 9 entries/layer)
+        la = min(la, len(sched))
+    else:
+        nbuf, la = NBUF, LOOKAHEAD
     kernel = functools.partial(
         _mega_kernel, cfg=cfg, S=S, sched=sched, shapes=shapes,
         n_hc=n_hc, co_h=co_h, V=V, L=L, kv_blocks=kv_blocks, kv_i8=kv_i8,

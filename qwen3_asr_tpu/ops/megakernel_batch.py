@@ -73,7 +73,7 @@ def mega_batch_max_context(mega: dict, cfg, batch: int = 16) -> int:
     L = cfg.n_layers
     B = max(1, int(batch))
     fixed = (
-        _mega_fixed_common(mega, cfg, batched=True)  # rings + norms
+        _mega_fixed_common(mega, cfg)     # rings + norms (NBUF-deep)
         + B * (2 * L * 8 * DKV            # fresh K/V outputs [B, L, 8, .]
                + 2 * L * 8 * NKV * 4      # fresh scales
                + H * 4 + H * 2 + 4)       # h_out + x + tok_out per seq
@@ -97,7 +97,7 @@ def mega_batch_stream_max_batch(mega: dict, cfg) -> int:
     DKV = NKV * cfg.head_dim
     L = cfg.n_layers
     fixed = (
-        _mega_fixed_common(mega, cfg, batched=True)
+        _mega_fixed_common(mega, cfg)
         + KVSLOTS * 2 * KV_BLOCK * DKV        # int8 k+v tile rings
         + KVSLOTS * 2 * NKV * KV_BLOCK * 4    # f32 scale tile rings
     )

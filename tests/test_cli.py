@@ -185,3 +185,32 @@ def test_align_mode_korean_dict_loads(tmp_path, capsys):
     assert "Korean dictionary loaded" in captured.err
     data = json.loads(captured.out)
     assert len(data["words"]) >= 1
+
+
+def test_save_mel_debug_hook(tmp_path, capsys):
+    """--save-mel writes the golden-layout [n_mels, n_frames] f32 .npy
+    (mel_spectrogram.h:34-65 save_npy parity) matching the oracle mel,
+    then the selected mode still runs."""
+    from qwen3_asr_tpu.audio import log_mel_spectrogram_ref
+
+    asr_path, _ = make_models(tmp_path)
+    wav = str(tmp_path / "a.wav")
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    write_wav(wav, audio)
+    mel_path = str(tmp_path / "mel.npy")
+
+    rc = main(["-m", asr_path, "-f", wav, "--max-tokens", "2",
+               "--dtype", "float32", "--no-timing", "--save-mel", mel_path])
+    assert rc == 0
+    got = np.load(mel_path)
+    # oracle on the WAV's stored samples (the float->int16 write is lossy;
+    # the 1e-4 gate is about the mel math, not the container quantization)
+    from qwen3_asr_tpu.audio import load_wav
+
+    stored, sr = load_wav(wav)
+    assert sr == 16000
+    want = log_mel_spectrogram_ref(stored)
+    assert got.shape == want.shape and got.dtype == np.float32
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+    assert capsys.readouterr().out.endswith("\n")  # mode output intact
