@@ -331,8 +331,9 @@ def decoder_prefill_batch(
     ONCE on the flattened [B*P, hidden] rows — one MXU program for the
     whole batch instead of B sequential prefills (the lax.map in
     generate_greedy_batch_mega measured ~196 ms of the 930 ms B=8 device
-    budget) — while attention stays per-sequence (vmapped Pallas flash on
-    TPU; masked XLA reference elsewhere, which the CPU tests exercise).
+    budget) — while attention is per-sequence via the batched flash kernel
+    (ONE launch, batch = grid axis, per-item valid lens; masked XLA
+    reference elsewhere, which the CPU tests exercise).
 
     Returns (hidden [B, P, hidden], rows {k, v}: [L, B, P, n_kv, hd]
     bf16-precision fresh cache rows — the caller bulk-quantizes/layouts
@@ -356,12 +357,14 @@ def decoder_prefill_batch(
     def attend(q, k, v):
         # q: [B, P, NH, D]; k/v: [B, P, NKV, D]
         if use_flash:
-            from qwen3_asr_tpu.ops.pallas_attention import flash_attention
+            from qwen3_asr_tpu.ops.pallas_attention import (
+                flash_attention_batch,
+            )
 
-            return jax.vmap(
-                lambda qb, kb, vb, vl: flash_attention(
-                    qb, kb, vb, vl, causal=True, scale=scale)
-            )(q, k, v, valid)
+            # ONE launch, batch = grid axis (vmapping the single-item
+            # kernel would serialize B Pallas launches per layer)
+            return flash_attention_batch(q, k, v, valid, causal=True,
+                                         scale=scale)
         from qwen3_asr_tpu.ops.attention import mha_attention
 
         return jax.vmap(

@@ -259,16 +259,105 @@ def _encode_padded_jit(params, cfg, mel_p, gap_pos, gap_size, n_valid):
     return _encode_padded_core(params, cfg, mel_p, gap_pos, gap_size, n_valid)
 
 
+def _encoder_block_batch(cfg: AudioEncoderConfig, h, layer, n_valid,
+                         interpret: bool = False):
+    """Batched transformer block: h [B, T, d], n_valid [B]. Attention runs
+    the batched flash kernel (ONE launch, batch = a real grid axis) — the
+    round-3 batched path fell back to masked XLA because pallas-under-vmap
+    serializes launches (measured 133 ms/B=8 @ 92 s)."""
+    from qwen3_asr_tpu.ops.pallas_attention import flash_attention_batch
+
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
+    B, T, _ = h.shape
+
+    x = _layer_norm(h, layer["attn_norm_w"], layer["attn_norm_b"],
+                    cfg.layer_norm_eps)
+    q = (x @ layer["wq"] + layer["bq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+    k = (x @ layer["wk"] + layer["bk"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+    v = (x @ layer["wv"] + layer["bv"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+    attn = flash_attention_batch(q, k, v, n_valid, causal=False, scale=scale,
+                                 interpret=interpret)
+    attn = attn.reshape(B, T, cfg.d_model)
+    h = h + (attn @ layer["wo"] + layer["bo"])
+
+    x = _layer_norm(h, layer["ffn_norm_w"], layer["ffn_norm_b"],
+                    cfg.layer_norm_eps)
+    x = jax.nn.gelu(x @ layer["w_up"] + layer["b_up"], approximate=False)
+    h = h + (x @ layer["w_down"] + layer["b_down"])
+    return h
+
+
+def _encode_padded_core_batch(params, cfg: AudioEncoderConfig, mel_b,
+                              gap_pos, gap_size, n_valid,
+                              interpret: bool = False):
+    """Natively-batched bucketed encoder (bidirectional towers only):
+    mel_b [B, n_mel, F_b], per-item gap/valid vectors [B]. Same math as
+    vmap(_encode_padded_core) but attention is the batched flash kernel."""
+    B, n_mel, F_b = mel_b.shape
+    chunk = cfg.chunk_size
+    assert F_b % chunk == 0, (F_b, chunk)
+    assert cfg.n_window_infer is None, "batched flash path is bidirectional"
+    n_chunks = F_b // chunk
+    max_out = chunk_output_len(chunk)
+
+    chunks = (mel_b.astype(jnp.float32)
+              .reshape(B, n_mel, n_chunks, chunk).transpose(0, 2, 1, 3)
+              .reshape(B * n_chunks, 1, n_mel, chunk))
+    feats = _conv_frontend(params, chunks)                  # [B*nc, 13, C*H]
+    dtype = params["conv_out_w"].dtype
+    x = feats.astype(dtype) @ params["conv_out_w"]
+    x = x + sinusoidal_pe(max_out, cfg.d_model, dtype)[None]
+    x = x.reshape(B, n_chunks * max_out, cfg.d_model)
+
+    N = x.shape[1]
+    pos = jnp.arange(N)[None, :]                            # [1, N]
+    idx = jnp.minimum(
+        pos + jnp.where(pos >= gap_pos[:, None], gap_size[:, None], 0), N - 1)
+    h = jnp.take_along_axis(x, idx[:, :, None], axis=1)     # [B, N, d]
+
+    def body(carry, layer):
+        return _encoder_block_batch(cfg, carry, layer, n_valid,
+                                    interpret=interpret), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+
+    h = _layer_norm(h, params["ln_post_w"], params["ln_post_b"],
+                    cfg.layer_norm_eps)
+    if params.get("proj1_w") is not None:
+        h = jax.nn.gelu(h @ params["proj1_w"] + params["proj1_b"],
+                        approximate=False)
+    if params.get("proj2_w") is not None:
+        h = h @ params["proj2_w"] + params["proj2_b"]
+    return h
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _encode_padded_batch_jit(params, cfg, mel_b, gap_pos, gap_size, n_valid):
     """Batched bucketed encoder: mel_b [B, n_mel, F_b], per-item scalars.
     ONE device dispatch for the whole batch (serving: B files of the same
     length bucket encode together instead of B sequential round trips).
-    Attention stays on XLA — pallas under vmap would serialize per item."""
+
+    On TPU at flash-worthy lengths the whole batch goes through
+    _encode_padded_core_batch (batched flash kernel, batch = grid axis);
+    otherwise vmap the single-item core with XLA attention (pallas under
+    vmap would serialize B launches)."""
+    from qwen3_asr_tpu.ops.support import has_pallas_tpu
+
+    T = max_encoder_ctx(cfg, mel_b.shape[2])
+    if (cfg.n_window_infer is None and has_pallas_tpu()
+            and T >= FLASH_MIN_T):
+        return _encode_padded_core_batch(params, cfg, mel_b,
+                                         gap_pos, gap_size, n_valid)
     return jax.vmap(
         lambda m, gp, gs, nv: _encode_padded_core(params, cfg, m, gp, gs, nv,
                                                   allow_flash=False)
     )(mel_b, gap_pos, gap_size, n_valid)
+
+
+def max_encoder_ctx(cfg: AudioEncoderConfig, n_frames_bucket: int) -> int:
+    """Transformer sequence length for a bucket of n_frames mel frames."""
+    return (n_frames_bucket // cfg.chunk_size) * chunk_output_len(
+        cfg.chunk_size)
 
 
 def encode_audio_padded(

@@ -24,4 +24,21 @@ else
     echo "SKIP CLI smoke (no model/audio: set QWEN3_ASR_GGUF / QWEN3_ASR_WAV)"
 fi
 
+# golden tier (role of the reference's model-gated suites,
+# run_all_tests.sh:100-183): runs IFF the HF checkpoint + golden npy dir
+# exist — mel @ 1e-4, encoder @ 2e-2, decoder @ 1e-2, WER @ 0.05
+HF_DIR="${QWEN3_ASR_HF_DIR:-}"
+GOLDENS="${QWEN3_ASR_GOLDENS:-}"
+if [[ -n "$HF_DIR" && -d "$HF_DIR" && -n "$GOLDENS" && -d "$GOLDENS" \
+      && -f "$AUDIO" ]]; then
+    echo "=== golden tier (real weights) ==="
+    python -m qwen3_asr_tpu.tools.validate_real_weights \
+        --hf-dir "$HF_DIR" --goldens "$GOLDENS" --audio "$AUDIO" \
+        ${QWEN3_FA_HF_DIR:+--fa-hf-dir "$QWEN3_FA_HF_DIR"} \
+        --workdir "${TMPDIR:-/tmp}/qwen3_validate" || exit 1
+else
+    echo "SKIP golden tier (set QWEN3_ASR_HF_DIR + QWEN3_ASR_GOLDENS" \
+         "+ QWEN3_ASR_WAV to run the real-weights gates)"
+fi
+
 echo "=== done ==="

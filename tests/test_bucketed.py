@@ -159,3 +159,43 @@ def test_bucketed_transcribe_matches_exact(rng):
                          mel_bucket=200),
     )
     assert outs[0].success and outs[0].tokens == exact.tokens
+
+
+def test_batched_flash_encoder_core_matches_vmapped(rng):
+    """The natively-batched encoder core (batched flash kernel, batch =
+    grid axis) == vmap of the single-item core on the valid rows. This is
+    the TPU serving path's math, run here in interpret mode."""
+    import jax
+
+    from qwen3_asr_tpu.models.encoder import (
+        _encode_padded_core,
+        _encode_padded_core_batch,
+        _gap_params,
+    )
+
+    cfg = tiny_asr_config()
+    params = init_asr_params(cfg, seed=9, dtype=jnp.float32)["encoder"]
+    filters = generate_mel_filters()
+    mels, gaps = [], []
+    for sec, f0 in ((1.31, 440), (0.77, 330), (2.0, 550)):
+        mel_p, n_true = log_mel_spectrogram_padded(_tone(sec, f0), filters,
+                                                   bucket=200)
+        mels.append(np.asarray(mel_p))
+        gaps.append(_gap_params(cfg.encoder, n_true))
+    F_b = max(m.shape[1] for m in mels)
+    mel_b = jnp.asarray(np.stack(
+        [np.pad(m, ((0, 0), (0, F_b - m.shape[1]))) for m in mels]))
+    gp = jnp.asarray([g[0] for g in gaps], jnp.int32)
+    gs = jnp.asarray([g[1] for g in gaps], jnp.int32)
+    nv = jnp.asarray([g[2] for g in gaps], jnp.int32)
+
+    got = np.asarray(_encode_padded_core_batch(
+        params, cfg.encoder, mel_b, gp, gs, nv, interpret=True))
+    want = np.asarray(jax.vmap(
+        lambda m, a, b, c: _encode_padded_core(params, cfg.encoder, m,
+                                               a, b, c, allow_flash=False)
+    )(mel_b, gp, gs, nv))
+    for b, g in enumerate(gaps):
+        n_audio = g[2]
+        np.testing.assert_allclose(got[b, :n_audio], want[b, :n_audio],
+                                   atol=2e-4, rtol=1e-4)
