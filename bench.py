@@ -362,11 +362,19 @@ def main():
         },
     }
 
+    # The bench artifact line goes out FIRST: the chipgate below is a
+    # separate artifact (CHIPTEST.json) and must never be able to hold the
+    # benchmark number hostage to its own runtime or a crash.
+    print(json.dumps(result), flush=True)
+
     # On-chip kernel gate (VERDICT r3 #6): all pytest runs exercise the
     # Pallas kernels in interpret mode on CPU; this runs the real Mosaic
     # binaries against their XLA contracts and writes CHIPTEST.json next
     # to the bench artifact. Never fails the bench — a failed gate is a
-    # recorded red flag, not a missing benchmark.
+    # recorded red flag, not a missing benchmark. The gate reuses this
+    # run's already-initialized int8pc decoder (and its int4 megakernel
+    # pack, which carries the expensive clip search) instead of spending
+    # ~15 min rebuilding the same synthetic params from the same seed.
     if pallas_ok and os.environ.get("QWEN3_CHIPGATE", "1") == "1":
         try:
             sys.path.insert(0, os.path.join(
@@ -375,20 +383,14 @@ def main():
 
             print("bench: chipgate (on-chip kernel-vs-XLA equality)...",
                   file=sys.stderr, flush=True)
-            gate = run_chipgate(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "CHIPTEST.json"))
-            result["detail"]["chipgate"] = {
-                "pass": gate.get("pass"),
-                "gates": {k: v.get("pass")
-                          for k, v in gate.get("gates", {}).items()},
-            }
+            reuse = params["decoder"] if quant in ("int8pc", "int4") else None
+            run_chipgate(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "CHIPTEST.json"),
+                cfg=cfg if reuse is not None else None, dec=reuse)
         except Exception as e:  # noqa: BLE001
             print(f"bench: chipgate failed to run ({e!r})",
                   file=sys.stderr, flush=True)
-            result["detail"]["chipgate"] = {"pass": None, "error": str(e)}
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

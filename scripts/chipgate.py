@@ -68,7 +68,7 @@ def _gate_mega_vs_xla(jax, jnp, cfg, dec_int8, audio, n_audio, toks,
 
 
 def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
-                             toks, n_prompt):
+                             toks, n_prompt, mega_int4=None):
     """int4-weight megakernel: streamed-KV attention == resident slabs.
     Same weights, same int8 cache; only the kernel's KV structure differs
     (flash-decoding ring vs whole-slab VMEM residency)."""
@@ -77,8 +77,9 @@ def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
 
     dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
     dec_mega = dict(dec_int8)
-    dec_mega["mega"] = mk.pack_megakernel_params(dec_int8, cfg.decoder,
-                                                 int4=True)
+    dec_mega["mega"] = (mega_int4 if mega_int4 is not None
+                        else mk.pack_megakernel_params(dec_int8, cfg.decoder,
+                                                       int4=True))
     dec_mega = jax.device_put(dec_mega)
     P = toks.shape[0]
     S = -(-(P + STEPS) // mk.KV_BLOCK) * mk.KV_BLOCK
@@ -198,19 +199,22 @@ def _gate_flash_vs_xla(jax, jnp, cfg):
     return out
 
 
-def run_chipgate(out_path: str = "CHIPTEST.json") -> dict:
+def run_chipgate(out_path: str = "CHIPTEST.json", cfg=None,
+                 dec=None) -> dict:
     """Run all gates; write the artifact; return it. Never raises — a
-    crashed gate is recorded as failed with its error string."""
+    crashed gate is recorded as failed with its error string.
+
+    cfg/dec: optionally reuse a caller's already-built fused int8pc
+    decoder tree (bench.py passes its own, skipping ~15 min of identical
+    synthetic-param init + quantize + int4 clip-search pack). dec may
+    carry a "mega" pack; an int4 one (qkv_q cols == H//2) is reused by
+    the stream gate, any pack is stripped before the XLA-contract gates.
+    """
     import jax
     import jax.numpy as jnp
 
     from qwen3_asr_tpu.config import ASRModelConfig
     from qwen3_asr_tpu.ops.support import has_pallas_tpu
-    from qwen3_asr_tpu.runtime.params import (
-        fuse_decoder_params,
-        init_asr_params,
-        quantize_decoder_params,
-    )
 
     t0 = time.perf_counter()
     result = {
@@ -226,11 +230,26 @@ def run_chipgate(out_path: str = "CHIPTEST.json") -> dict:
         _write(out_path, result)
         return result
 
-    cfg = ASRModelConfig()
-    params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
-    dec = quantize_decoder_params(
-        jax.tree.map(np.asarray, params["decoder"]), "int8pc")
-    dec = fuse_decoder_params(dec)
+    mega_int4 = None
+    if dec is not None and cfg is not None:
+        mega = dec.get("mega")
+        if (mega is not None
+                and mega["qkv_q"].shape[2] == cfg.decoder.hidden_size // 2):
+            mega_int4 = mega
+        dec = {k: v for k, v in dec.items() if k != "mega"}
+        result["params"] = "reused from caller"
+    else:
+        from qwen3_asr_tpu.runtime.params import (
+            fuse_decoder_params,
+            init_asr_params,
+            quantize_decoder_params,
+        )
+
+        cfg = ASRModelConfig()
+        params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+        dec = quantize_decoder_params(
+            jax.tree.map(np.asarray, params["decoder"]), "int8pc")
+        dec = fuse_decoder_params(dec)
 
     rng = np.random.default_rng(1)
     n_audio = PROMPT - 40
@@ -249,7 +268,7 @@ def run_chipgate(out_path: str = "CHIPTEST.json") -> dict:
         ("mega_int8_vs_xla", _gate_mega_vs_xla,
          (jax, jnp, cfg, dec, audio, n_audio, toks, n_prompt)),
         ("mega_stream_vs_resident", _gate_stream_vs_resident,
-         (jax, jnp, cfg, dec, audio, n_audio, toks, n_prompt)),
+         (jax, jnp, cfg, dec, audio, n_audio, toks, n_prompt, mega_int4)),
         ("flash_vs_xla", _gate_flash_vs_xla, (jax, jnp, cfg)),
     )
     for name, fn, args in gates:
