@@ -462,6 +462,76 @@ def generate_greedy_streaming(
     return out
 
 
+def prefill_batch_mega_cache(
+    dec_params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,        # [B, P] int32, prompts padded to bucket P
+    n_prompt: jax.Array,      # [B] int32 real prompt lengths
+    audio: jax.Array,         # [B, N_max, hidden]
+    n_audio: jax.Array,       # [B] int32
+    audio_offset: int,
+    S: int,                   # cache rows to allocate (kernel alignment
+                              # is the caller's contract)
+    kv_stream: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched prefill into the batched megakernel's cache layout
+    (VERDICT r3 #3): embed + ONE batched layer stack whose matmuls run on
+    the flattened [B*P] rows — replaces the lax.map of B sequential
+    prefills (~196 ms of the 930 ms B=8 device budget). Returns
+    (first_token [B] int32, k_cache, v_cache, k_scale, v_scale) with the
+    caches allocated at S rows in mega_decode_step_batch's layout.
+
+    Traced helper shared by generate_greedy_batch_mega (whole-loop jit)
+    and the continuous-batching engine (pipeline/engine.py), which jits
+    it standalone to prefill newcomers into pool-sized slabs."""
+    from qwen3_asr_tpu.models.decoder import (
+        _quantize_kv_rows,
+        decoder_prefill_batch,
+        lm_logits_block,
+    )
+    from qwen3_asr_tpu.ops.megakernel import KV_BLOCK
+
+    B, P = tokens.shape
+    L = cfg.n_layers
+    DKV = cfg.n_kv_heads * cfg.head_dim
+    NKV = cfg.n_kv_heads
+
+    h0 = jax.vmap(
+        lambda tk, au, na: embed_with_audio(dec_params, tk, au, na,
+                                            audio_offset)
+    )(tokens, audio, n_audio)
+    h, rows = decoder_prefill_batch(
+        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), n_prompt)
+    h_last = jnp.take_along_axis(
+        h, (n_prompt - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    first = jnp.argmax(lm_logits_block(dec_params, cfg, h_last),
+                       axis=-1).astype(jnp.int32)
+
+    # bulk-quantize the fresh rows and lay them out for the batched
+    # kernel: rows [L, B, P, NKV, hd] -> caches [B, L, S, DKV] int8 with
+    # scales [B, L, NKV, S] (pad rows past P stay zero; the kernel's
+    # position gating never reads them)
+    def to_cache(rows_lbp):
+        q8, s = _quantize_kv_rows(rows_lbp)        # int8 + [L, B, P, NKV]
+        q8 = q8.transpose(1, 0, 2, 3, 4).reshape(B, L, P, DKV)
+        qf = jnp.zeros((B, L, S, DKV), jnp.int8)
+        qf = jax.lax.dynamic_update_slice(qf, q8, (0, 0, 0, 0))
+        s = s.transpose(1, 0, 2, 3)                # [B, L, P, NKV]
+        sn = jnp.zeros((B, L, S, NKV), jnp.float32)
+        sn = jax.lax.dynamic_update_slice(sn, s, (0, 0, 0, 0))
+        if kv_stream:
+            # block-major [B, L, NB, NKV, KVB] (block_kv_scales per seq)
+            sf = sn.reshape(B, L, S // KV_BLOCK, KV_BLOCK,
+                            NKV).transpose(0, 1, 2, 4, 3)
+        else:
+            sf = sn.transpose(0, 1, 3, 2)          # [B, L, NKV, S]
+        return qf, sf
+
+    kq, ks = to_cache(rows["k"])
+    vq, vs = to_cache(rows["v"])
+    return first, kq, vq, ks, vs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "audio_offset", "max_tokens", "interpret",
@@ -496,53 +566,10 @@ def generate_greedy_batch_mega(
     B, P = tokens.shape
     align = KV_BLOCK if kv_stream else 128
     S = -(-(P + max_tokens) // align) * align
-    L = cfg.n_layers
-    DKV = cfg.n_kv_heads * cfg.head_dim
 
-    # Batched prefill (VERDICT r3 #3): embed + ONE batched layer stack
-    # whose matmuls run on the flattened [B*P] rows — replaces the lax.map
-    # of B sequential prefills (~196 ms of the 930 ms B=8 device budget).
-    from qwen3_asr_tpu.models.decoder import (
-        _quantize_kv_rows,
-        decoder_prefill_batch,
-        lm_logits_block,
-    )
-
-    h0 = jax.vmap(
-        lambda tk, au, na: embed_with_audio(dec_params, tk, au, na,
-                                            audio_offset)
-    )(tokens, audio, n_audio)
-    h, rows = decoder_prefill_batch(
-        dec_params, cfg, h0, jnp.arange(P, dtype=jnp.int32), n_prompt)
-    h_last = jnp.take_along_axis(
-        h, (n_prompt - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    first = jnp.argmax(lm_logits_block(dec_params, cfg, h_last),
-                       axis=-1).astype(jnp.int32)
-
-    # bulk-quantize the fresh rows and lay them out for the batched
-    # kernel: rows [L, B, P, NKV, hd] -> caches [B, L, S, DKV] int8 with
-    # scales [B, L, NKV, S] (pad rows past P stay zero; the kernel's
-    # position gating never reads them)
-    NKV = cfg.n_kv_heads
-
-    def to_cache(rows_lbp):
-        q8, s = _quantize_kv_rows(rows_lbp)        # int8 + [L, B, P, NKV]
-        q8 = q8.transpose(1, 0, 2, 3, 4).reshape(B, L, P, DKV)
-        qf = jnp.zeros((B, L, S, DKV), jnp.int8)
-        qf = jax.lax.dynamic_update_slice(qf, q8, (0, 0, 0, 0))
-        s = s.transpose(1, 0, 2, 3)                # [B, L, P, NKV]
-        sn = jnp.zeros((B, L, S, NKV), jnp.float32)
-        sn = jax.lax.dynamic_update_slice(sn, s, (0, 0, 0, 0))
-        if kv_stream:
-            # block-major [B, L, NB, NKV, KVB] (block_kv_scales per seq)
-            sf = sn.reshape(B, L, S // KV_BLOCK, KV_BLOCK,
-                            NKV).transpose(0, 1, 2, 4, 3)
-        else:
-            sf = sn.transpose(0, 1, 3, 2)          # [B, L, NKV, S]
-        return qf, sf
-
-    kq, ks = to_cache(rows["k"])
-    vq, vs = to_cache(rows["v"])
+    first, kq, vq, ks, vs = prefill_batch_mega_cache(
+        dec_params, cfg, tokens, n_prompt, audio, n_audio, audio_offset,
+        S, kv_stream=kv_stream)
 
     out0 = jnp.zeros((B, max_tokens), jnp.int32).at[:, 0].set(first)
     done0 = first == cfg.eos_token_id

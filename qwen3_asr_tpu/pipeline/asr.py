@@ -527,42 +527,8 @@ class Qwen3ASR:
                     samples = samples.astype(np.float32)
             samples_list[i] = samples
 
-        feats_list: list = [None] * len(audios)
-        if params.mel_bucket > 0:
-            # batched frontend: files grouped by frame bucket run mel +
-            # encoder as ONE dispatch per group (B sequential per-file
-            # round trips otherwise dominate batch latency)
-            from qwen3_asr_tpu.audio.mel import (
-                log_mel_spectrogram_padded_batch,
-                num_mel_frames,
-            )
-            from qwen3_asr_tpu.models.encoder import encode_audio_padded_batch
-
-            chunk = self.cfg.encoder.chunk_size
-            bf = -(-params.mel_bucket // chunk) * chunk
-            groups: dict[int, list[int]] = {}
-            for i, s in enumerate(samples_list):
-                if s is None:
-                    continue
-                F_b = -(-num_mel_frames(len(s)) // bf) * bf
-                groups.setdefault(F_b, []).append(i)
-            for idxs in groups.values():
-                mel_b, n_true = log_mel_spectrogram_padded_batch(
-                    [samples_list[i] for i in idxs], self.mel_filters, bf
-                )
-                feats_b, n_audio_l = encode_audio_padded_batch(
-                    self.params["encoder"], self.cfg.encoder, mel_b, n_true
-                )
-                for j, i in enumerate(idxs):
-                    feats_list[i] = (feats_b[j], n_audio_l[j])
-        else:
-            for i, samples in enumerate(samples_list):
-                if samples is None:
-                    continue
-                mel = log_mel_spectrogram(samples, self.mel_filters,
-                                          as_numpy=False)
-                f = encode_audio(self.params["encoder"], self.cfg.encoder, mel)
-                feats_list[i] = (f, int(f.shape[0]))
+        feats_list = frontend_feats_batch(self, samples_list,
+                                          params.mel_bucket)
 
         valid = [i for i, f in enumerate(feats_list) if f is not None]
         if not valid:
@@ -612,3 +578,48 @@ class Qwen3ASR:
             r.success = True
             r.t_total_ms = t_ms
         return results
+
+
+def frontend_feats_batch(asr: "Qwen3ASR", samples_list: list,
+                         mel_bucket: int) -> list:
+    """Batched mel + encoder frontend: files grouped by frame bucket run
+    mel + encoder as ONE dispatch per group (B sequential per-file round
+    trips otherwise dominate batch latency). Returns a list aligned with
+    `samples_list`: (feats, n_audio) per entry, None where the input was
+    None. mel_bucket <= 0 keeps exact shapes (one dispatch per file).
+    Shared by `Qwen3ASR.transcribe_batch` and the continuous-batching
+    engine (pipeline/engine.py)."""
+    feats_list: list = [None] * len(samples_list)
+    if mel_bucket > 0:
+        from qwen3_asr_tpu.audio.mel import (
+            log_mel_spectrogram_padded_batch,
+            num_mel_frames,
+        )
+        from qwen3_asr_tpu.models.encoder import encode_audio_padded_batch
+
+        chunk = asr.cfg.encoder.chunk_size
+        bf = -(-mel_bucket // chunk) * chunk
+        groups: dict[int, list[int]] = {}
+        for i, s in enumerate(samples_list):
+            if s is None:
+                continue
+            F_b = -(-num_mel_frames(len(s)) // bf) * bf
+            groups.setdefault(F_b, []).append(i)
+        for idxs in groups.values():
+            mel_b, n_true = log_mel_spectrogram_padded_batch(
+                [samples_list[i] for i in idxs], asr.mel_filters, bf
+            )
+            feats_b, n_audio_l = encode_audio_padded_batch(
+                asr.params["encoder"], asr.cfg.encoder, mel_b, n_true
+            )
+            for j, i in enumerate(idxs):
+                feats_list[i] = (feats_b[j], n_audio_l[j])
+    else:
+        for i, samples in enumerate(samples_list):
+            if samples is None:
+                continue
+            mel = log_mel_spectrogram(samples, asr.mel_filters,
+                                      as_numpy=False)
+            f = encode_audio(asr.params["encoder"], asr.cfg.encoder, mel)
+            feats_list[i] = (f, int(f.shape[0]))
+    return feats_list

@@ -116,6 +116,10 @@ class ASRServer:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         aligner=None,
+        continuous: bool = False,
+        round_tokens: int = 64,
+        pool: int | None = None,
+        engine_context: int | None = None,
     ):
         self.asr = asr
         self.aligner = aligner
@@ -128,7 +132,25 @@ class ASRServer:
         self._queue: queue.Queue = queue.Queue()
         self._pending: deque = deque()  # worker-thread only
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._engine = None
+        if continuous:
+            # continuous (in-flight) batching: greedy default-params ASR
+            # decodes in a slot pool with per-round admission/retirement
+            # (pipeline/engine.py) instead of closed batches. Raises if
+            # the loaded model can't run the batched megakernel (needs
+            # int8pc/int4 quantized weights + int8 KV).
+            from qwen3_asr_tpu.pipeline.engine import ContinuousEngine
+
+            self._engine = ContinuousEngine(
+                asr, pool=pool or max_batch, round_tokens=round_tokens,
+                max_tokens=self.params.max_tokens,
+                prompt_bucket=self.params.prompt_bucket,
+                mel_bucket=self.params.mel_bucket or 500,
+                s_pool=engine_context,
+                interpret=not _pallas_ok())
+        self._worker = threading.Thread(
+            target=self._run_continuous if continuous else self._run,
+            daemon=True)
         self._worker.start()
         self.n_served = 0
         self.n_batches = 0
@@ -239,31 +261,122 @@ class ASRServer:
             batch = self._collect()
             if not batch:
                 continue
+            self._process_batch(batch)
+
+    def _process_batch(self, batch: list[_Request]) -> None:
+        """Run one same-kind closed batch and deliver its results."""
+        try:
+            if batch[0].stream_q is not None:
+                self._run_stream(batch[0])
+                results = []
+            elif batch[0].align_text is not None:
+                results = self._run_align(batch)
+            elif batch[0].params is not None:
+                # per-request overrides (sampling): sequential, each
+                # with its own params — correctness over batching
+                results = [self.asr.transcribe(r.samples, r.params)
+                           for r in batch]
+            elif len(batch) == 1:
+                results = [self.asr.transcribe(batch[0].samples, self.params)]
+            else:
+                results = self._run_transcribe(batch)
+            for req, res in zip(batch, results):
+                req.future.set_result(res)
+        except Exception as e:  # noqa: BLE001 — propagate to all waiters
+            for req in batch:
+                if req.stream_q is not None:
+                    req.stream_q.put(("error", str(e)))
+                elif not req.future.done():
+                    req.future.set_exception(e)
+        self.n_served += len(batch)
+        self.n_batches += 1
+
+    # -- continuous (in-flight) batching worker ----------------------------
+
+    def _drain_queue(self, block: bool) -> None:
+        """Move queued arrivals onto `_pending`. block=True waits for the
+        first arrival (pool idle, nothing pending); otherwise drains
+        whatever is there without waiting."""
+        if block:
+            req = self._queue.get()
+            if req is None:
+                return
+            self._pending.append(req)
+        while True:
             try:
-                if batch[0].stream_q is not None:
-                    self._run_stream(batch[0])
-                    results = []
-                elif batch[0].align_text is not None:
-                    results = self._run_align(batch)
-                elif batch[0].params is not None:
-                    # per-request overrides (sampling): sequential, each
-                    # with its own params — correctness over batching
-                    results = [self.asr.transcribe(r.samples, r.params)
-                               for r in batch]
-                elif len(batch) == 1:
-                    results = [self.asr.transcribe(batch[0].samples, self.params)]
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is None:
+                return
+            self._pending.append(req)
+
+    def _collect_pending_batch(self) -> list[_Request]:
+        """Form one closed batch from `_pending` (first request's kind,
+        up to max_batch) — the continuous worker's path for work the
+        slot pool can't take. No arrival window: everything here already
+        queued while a round was running."""
+        first = self._pending.popleft()
+        kind = _request_kind(first)
+        batch = [first]
+        if kind == "stream":
+            return batch
+        i = 0
+        while i < len(self._pending) and len(batch) < self.max_batch:
+            if _request_kind(self._pending[i]) == kind:
+                batch.append(self._pending[i])
+                del self._pending[i]
+            else:
+                i += 1
+        return batch
+
+    def _run_continuous(self):
+        """Continuous-batching worker (pipeline/engine.py): greedy
+        default-params ASR requests prefill into the slot pool between
+        decode rounds (admission latency <= one round instead of one
+        whole batch decode); align/stream/sampled/too-long requests take
+        the closed-batch path between rounds. One thread, one device
+        owner — same as the closed-batch worker."""
+        eng = self._engine
+        backlog: deque = deque()  # engine-eligible requests awaiting a slot
+        while not self._stop.is_set():
+            self._drain_queue(block=eng.n_active() == 0 and not backlog
+                              and not self._pending)
+            if self._stop.is_set():
+                break
+            # classify arrivals: pool-eligible greedy ASR waits for a slot
+            # (never falls onto the closed path — a closed batch would
+            # stall the pool for a full decode), everything else goes to
+            # the closed-batch path
+            rest: deque = deque()
+            for req in self._pending:
+                if (_request_kind(req) == "asr"
+                        and eng.eligible(len(req.samples))):
+                    backlog.append(req)
                 else:
-                    results = self._run_transcribe(batch)
-                for req, res in zip(batch, results):
+                    rest.append(req)
+            self._pending = rest
+            free = len(eng.free_slots())
+            admit = [backlog.popleft() for _ in range(min(free,
+                                                          len(backlog)))]
+            if admit:
+                try:
+                    eng.admit(admit, [r.samples for r in admit])
+                except Exception as e:  # noqa: BLE001
+                    for r in admit:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+            if eng.n_active():
+                completed = eng.run_round()
+                for req, res in completed:
                     req.future.set_result(res)
-            except Exception as e:  # noqa: BLE001 — propagate to all waiters
-                for req in batch:
-                    if req.stream_q is not None:
-                        req.stream_q.put(("error", str(e)))
-                    elif not req.future.done():
-                        req.future.set_exception(e)
-            self.n_served += len(batch)
-            self.n_batches += 1
+                    self.n_served += 1
+                self.n_batches += 1
+            # closed-batch work (align/stream/sampled/long): runs between
+            # rounds; it blocks the round cadence for its duration, which
+            # bounds pool-admission latency at one closed batch
+            if self._pending:
+                self._process_batch(self._collect_pending_batch())
 
     def _mega_eligible(self, n_samples: int) -> bool:
         """Host-side estimate of whether an utterance of `n_samples` 16 kHz
@@ -481,11 +594,14 @@ def _make_handler(server: ASRServer):
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path == "/healthz":
-                self._reply(200, {
+                health = {
                     "status": "ok",
                     "served": server.n_served,
                     "batches": server.n_batches,
-                })
+                }
+                if server._engine is not None:
+                    health["engine"] = server._engine.stats()
+                self._reply(200, health)
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -821,6 +937,22 @@ def main(argv=None) -> int:
                         "(multipart audio+text, JSON audio_b64+text, or "
                         "legacy WAV body + X-Align-Text header) and word "
                         "timestamps on /v1/audio/transcriptions")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous (in-flight) batching: greedy ASR "
+                        "requests join/leave a slot pool between decode "
+                        "rounds instead of closed batches — no "
+                        "head-of-line blocking behind a running batch "
+                        "(needs --quantize int8pc/int4 + --kv-cache int8)")
+    p.add_argument("--round-tokens", type=int, default=64,
+                   help="continuous mode: decode steps per round (one "
+                        "jitted dispatch); bounds admission latency")
+    p.add_argument("--engine-context", type=int, default=0,
+                   help="continuous mode: per-slot KV rows (multiple of "
+                        "128; bounds the longest admissible prompt + "
+                        "max-tokens). 0 = the batched kernel's VMEM "
+                        "maximum — right on TPU; set explicitly for "
+                        "CPU/interpret runs where the VMEM bound is "
+                        "meaningless")
     args = p.parse_args(argv)
 
     import jax
@@ -857,6 +989,9 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         aligner=aligner,
+        continuous=args.continuous,
+        round_tokens=args.round_tokens,
+        engine_context=args.engine_context or None,
     )
     if args.warmup:
         server.warmup(tuple(float(s) for s in args.warmup.split(",")))
