@@ -139,32 +139,39 @@ def main():
     quant = {"0": "", "1": "q8_0", "2": "int8pc", "3": "int4"}[
         os.environ.get("BENCH_QUANT", "3")
     ]
-    if gguf:
-        cfg, params, _, _ = load_asr_model(gguf, jnp.bfloat16)
-    else:
-        cfg = ASRModelConfig()
-        params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
-    if quant:
-        from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+    from qwen3_asr_tpu.runtime.params import host_staging
 
-        params["decoder"] = quantize_decoder_params(
-            params["decoder"], "int8pc" if quant == "int4" else quant)
-    from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+    print("bench: init/quantize/pack (host-staged)...", file=sys.stderr,
+          flush=True)
+    with host_staging():  # transforms on host; ONE device_put below
+        if gguf:
+            cfg, params, _, _ = load_asr_model(gguf, jnp.bfloat16)
+        else:
+            cfg = ASRModelConfig()
+            params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+        if quant:
+            from qwen3_asr_tpu.runtime.params import quantize_decoder_params
 
-    params["decoder"] = fuse_decoder_params(params["decoder"])
-    # int8pc/int4 + fused: pack the whole-step decode megakernel (one
-    # Pallas launch per token — all layers + lm head + argmax). BENCH_MEGA=0
-    # to measure the plain XLA decode loop instead.
-    use_mega = (quant in ("int8pc", "int4")
-                and os.environ.get("BENCH_MEGA", "1") == "1")
-    if use_mega:
-        try:
-            from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
+            params["decoder"] = quantize_decoder_params(
+                params["decoder"], "int8pc" if quant == "int4" else quant)
+        from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
-            params["decoder"]["mega"] = pack_megakernel_params(
-                params["decoder"], cfg.decoder, int4=quant == "int4")
-        except ValueError:
-            use_mega = False
+        params["decoder"] = fuse_decoder_params(params["decoder"])
+        # int8pc/int4 + fused: pack the whole-step decode megakernel (one
+        # Pallas launch per token — all layers + lm head + argmax).
+        # BENCH_MEGA=0 to measure the plain XLA decode loop instead.
+        use_mega = (quant in ("int8pc", "int4")
+                    and os.environ.get("BENCH_MEGA", "1") == "1")
+        if use_mega:
+            try:
+                from qwen3_asr_tpu.ops.megakernel import (
+                    pack_megakernel_params,
+                )
+
+                params["decoder"]["mega"] = pack_megakernel_params(
+                    params["decoder"], cfg.decoder, int4=quant == "int4")
+            except ValueError:
+                use_mega = False
     params = jax.device_put(params)
     dcfg = cfg.decoder
     # BENCH_KV: KV cache dtype — int8 (default), int4, or bf16. With the

@@ -150,9 +150,30 @@ def _int4_group_for(n_in: int) -> int:
 # clip ratios tried by the int4 MSE search (1.0 = plain absmax is always
 # the baseline candidate). Two candidates capture ~99% of the five-
 # candidate win (27.9/26.1% vs 28.1/26.1% MSE reduction on gaussian/
-# heavy-tailed weights) at 2/5 of the pack-time cost — with the torch
-# path the searched pack costs about the same as the old numpy absmax one
+# heavy-tailed weights) at 2/5 of the pack-time cost — with the jitted
+# XLA search the pack costs about the same as plain absmax packing
 _INT4_CLIP_CANDIDATES = (0.9, 0.8)
+
+
+@jax.jit
+def _quant_int4_search_jit(wg):
+    """MSE-clip-searched symmetric int4 per (group, column): wg
+    [n_g, G, out] f32 -> (q int8 in [-7, 7], scales f32 [n_g, out]).
+    Same math as the numpy fallback below (absmax baseline + clipped
+    candidates, round-half-even, keep the MSE minimizer)."""
+    amax = jnp.max(jnp.abs(wg), axis=1)                 # [n_g, out]
+    best_s = jnp.maximum(amax / 7.0, 1e-12)
+    best_q = jnp.clip(jnp.round(wg / best_s[:, None, :]), -7, 7)
+    best_err = ((best_q * best_s[:, None, :] - wg) ** 2).sum(axis=1)
+    for c in _INT4_CLIP_CANDIDATES:
+        s = jnp.maximum(amax * (c / 7.0), 1e-12)
+        q = jnp.clip(jnp.round(wg / s[:, None, :]), -7, 7)
+        err = ((q * s[:, None, :] - wg) ** 2).sum(axis=1)
+        m = err < best_err
+        best_err = jnp.where(m, err, best_err)
+        best_s = jnp.where(m, s, best_s)
+        best_q = jnp.where(m[:, None, :], q, best_q)
+    return best_q.astype(jnp.int8), best_s
 
 
 def _quant_int4_groups(w: np.ndarray, G: int | None = None,
@@ -173,28 +194,12 @@ def _quant_int4_groups(w: np.ndarray, G: int | None = None,
     if search_clip is None:
         search_clip = os.environ.get("QWEN3_INT4_CLIP_SEARCH", "1") == "1"
     if search_clip:
-        try:  # torch's fused clamp/round kernels are ~3x numpy here; the
-            # search is a load-time one-off (~45 s at 0.6B with numpy)
-            import torch
-
-            wg = torch.from_numpy(np.ascontiguousarray(w)).reshape(
-                n_in // G, G, n_out)
-            amax = wg.abs().amax(dim=1)
-            best_s = (amax / 7.0).clamp_min(1e-12)
-            best_q = torch.clamp(torch.round(wg / best_s[:, None, :]), -7, 7)
-            best_err = ((best_q * best_s[:, None, :] - wg) ** 2).sum(dim=1)
-            for c in _INT4_CLIP_CANDIDATES:
-                s = (amax * (c / 7.0)).clamp_min(1e-12)
-                q = torch.clamp(torch.round(wg / s[:, None, :]), -7, 7)
-                err = ((q * s[:, None, :] - wg) ** 2).sum(dim=1)
-                m = err < best_err
-                best_err = torch.where(m, err, best_err)
-                best_s = torch.where(m, s, best_s)
-                best_q = torch.where(m[:, None, :], q, best_q)
-            return (best_q.to(torch.int8).reshape(n_in, n_out).numpy(),
-                    best_s.numpy().astype(np.float32))
-        except ImportError:
-            pass
+        # one jitted XLA pass per leaf shape (load-time one-off; the
+        # earlier torch/numpy versions measured ~45-100 s at 0.6B — XLA
+        # fuses the candidate loop and multithreads it)
+        q, s = _quant_int4_search_jit(
+            jnp.asarray(w).reshape(n_in // G, G, n_out))
+        return (np.asarray(q).reshape(n_in, n_out), np.asarray(s))
     wg = w.reshape(n_in // G, G, n_out)
     amax = np.abs(wg).max(axis=1)                          # [n_g, out]
     best_s = np.maximum(amax / 7.0, 1e-12)
@@ -243,11 +248,17 @@ def _pack_tiles_i4(w: np.ndarray, co: int, G: int | None = None):
     return qt, s8
 
 
+@jax.jit
+def _dequant_i8pc_jit(q, s):
+    return q.astype(jnp.float32) * s[:, None, :].astype(jnp.float32)
+
+
 def _dequant_i8pc(leaf: dict) -> np.ndarray:
-    """int8pc leaf -> dense f32 [L, in, out] (q * per-out-channel scale)."""
-    q = np.asarray(leaf["i8pc:q"], np.float32)
-    s = np.asarray(leaf["i8pc:s"], np.float32)
-    return q * s[:, None, :]
+    """int8pc leaf -> dense f32 [L, in, out] (q * per-out-channel scale).
+    One jitted XLA pass: the numpy version (int8->f32 conversion + a
+    1.8 GB broadcast multiply) measured ~10x slower at 0.6B."""
+    return np.asarray(_dequant_i8pc_jit(jnp.asarray(leaf["i8pc:q"]),
+                                        jnp.asarray(leaf["i8pc:s"])))
 
 
 def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,

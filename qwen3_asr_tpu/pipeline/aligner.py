@@ -149,12 +149,15 @@ class ForcedAligner:
 
     def load_model(self, model_path: str) -> bool:
         try:
-            self.cfg, self.params, vocab, merges = load_aligner_model(
-                model_path, self.dtype
-            )
-            self.tokenizer = BPETokenizer(vocab, merges)
-            self.mel_filters = generate_mel_filters()
-            self._prepare_decoder()
+            from qwen3_asr_tpu.runtime.params import host_staging
+
+            with host_staging():  # transforms on host; ONE device_put
+                self.cfg, self.params, vocab, merges = load_aligner_model(
+                    model_path, self.dtype
+                )
+                self.tokenizer = BPETokenizer(vocab, merges)
+                self.mel_filters = generate_mel_filters()
+                self._prepare_decoder()
             self.params = jax.device_put(self.params)
             return True
         except Exception as e:
@@ -163,9 +166,13 @@ class ForcedAligner:
 
     def load_random(self, cfg: AlignerModelConfig, seed: int = 0,
                     vocab=None, merges=None) -> None:
+        from qwen3_asr_tpu.runtime.params import host_staging
+
         self.cfg = cfg
-        self.params = init_aligner_params(cfg, seed, self.dtype)
-        self._prepare_decoder()
+        with host_staging():
+            self.params = init_aligner_params(cfg, seed, self.dtype)
+            self._prepare_decoder()
+        self.params = jax.device_put(self.params)
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

@@ -120,26 +120,32 @@ class Qwen3ASR:
     def load_model(self, model_path: str) -> bool:
         try:
             t0 = time.perf_counter()
-            self.cfg, self.params, vocab, merges = load_asr_model(
-                model_path, self.dtype
-            )
-            self.tokenizer = BPETokenizer(vocab, merges)
-            self.mel_filters = generate_mel_filters()
-            quantize = self._resolve_quantize()
-            if quantize:
-                from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+            from qwen3_asr_tpu.runtime.params import host_staging
 
-                # "int4" is a decode-stream mode: the XLA paths (prefill,
-                # batched fallback) still run int8pc; only the megakernel
-                # pack is int4
-                self.params["decoder"] = quantize_decoder_params(
-                    self.params["decoder"],
-                    "int8pc" if quantize == "int4" else quantize,
+            with host_staging():  # transforms on host; ONE device_put below
+                self.cfg, self.params, vocab, merges = load_asr_model(
+                    model_path, self.dtype
                 )
-            from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+                self.tokenizer = BPETokenizer(vocab, merges)
+                self.mel_filters = generate_mel_filters()
+                quantize = self._resolve_quantize()
+                if quantize:
+                    from qwen3_asr_tpu.runtime.params import (
+                        quantize_decoder_params,
+                    )
 
-            self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
-            self._maybe_pack_megakernel(quantize)
+                    # "int4" is a decode-stream mode: the XLA paths
+                    # (prefill, batched fallback) still run int8pc; only
+                    # the megakernel pack is int4
+                    self.params["decoder"] = quantize_decoder_params(
+                        self.params["decoder"],
+                        "int8pc" if quantize == "int4" else quantize,
+                    )
+                from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+
+                self.params["decoder"] = fuse_decoder_params(
+                    self.params["decoder"])
+                self._maybe_pack_megakernel(quantize)
             self.params = jax.device_put(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
@@ -154,20 +160,27 @@ class Qwen3ASR:
                     vocab: list[str] | None = None,
                     merges: list[str] | None = None) -> None:
         """Synthetic weights (benchmarks / tests without model files)."""
+        from qwen3_asr_tpu.runtime.params import host_staging
+
         self.cfg = cfg
-        self.params = init_asr_params(cfg, seed, self.dtype)
-        quantize = self._resolve_quantize()
-        if quantize:
-            from qwen3_asr_tpu.runtime.params import quantize_decoder_params
+        with host_staging():  # transforms on host; ONE device_put below
+            self.params = init_asr_params(cfg, seed, self.dtype)
+            quantize = self._resolve_quantize()
+            if quantize:
+                from qwen3_asr_tpu.runtime.params import (
+                    quantize_decoder_params,
+                )
 
-            self.params["decoder"] = quantize_decoder_params(
-                self.params["decoder"],
-                "int8pc" if quantize == "int4" else quantize,
-            )
-        from qwen3_asr_tpu.runtime.params import fuse_decoder_params
+                self.params["decoder"] = quantize_decoder_params(
+                    self.params["decoder"],
+                    "int8pc" if quantize == "int4" else quantize,
+                )
+            from qwen3_asr_tpu.runtime.params import fuse_decoder_params
 
-        self.params["decoder"] = fuse_decoder_params(self.params["decoder"])
-        self._maybe_pack_megakernel(quantize)
+            self.params["decoder"] = fuse_decoder_params(
+                self.params["decoder"])
+            self._maybe_pack_megakernel(quantize)
+        self.params = jax.device_put(self.params)
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

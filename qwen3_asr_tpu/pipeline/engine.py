@@ -162,7 +162,7 @@ class ContinuousEngine:
     def __init__(self, asr, pool: int = 8, round_tokens: int = 64,
                  max_tokens: int = 1024, prompt_bucket: int = 128,
                  mel_bucket: int = 800, s_pool: int | None = None,
-                 interpret: bool = False):
+                 kv_stream: bool = False, interpret: bool = False):
         dec = asr.params["decoder"]
         if "mega" not in dec:
             raise ValueError("continuous engine needs the packed decode "
@@ -170,8 +170,10 @@ class ContinuousEngine:
         if asr._cache_dtype() != jnp.int8:
             raise ValueError("continuous engine needs the int8 KV cache "
                              "(the batched megakernel's only mode)")
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK
         from qwen3_asr_tpu.ops.megakernel_batch import (
             mega_batch_max_context,
+            mega_batch_stream_max_batch,
         )
 
         self.asr = asr
@@ -184,13 +186,29 @@ class ContinuousEngine:
         self.max_tokens = int(max_tokens)
         self.prompt_bucket = int(prompt_bucket)
         self.mel_bucket = int(mel_bucket)
+        self.kv_stream = bool(kv_stream)
         self.interpret = bool(interpret)
-        s_max = mega_batch_max_context(dec["mega"], self.dcfg,
-                                       batch=self.pool)
+        align = KV_BLOCK if self.kv_stream else 128
+        if self.kv_stream:
+            # streamed-KV pool: VMEM is O(1) in context (the kernel folds
+            # KV_BLOCK tiles through a ring), so S is bounded by HBM, not
+            # VMEM — only the per-seq outputs bound the batch
+            b_max = mega_batch_stream_max_batch(dec["mega"], self.dcfg)
+            if self.pool > b_max and not interpret:
+                raise ValueError(f"kv_stream pool {self.pool} exceeds the "
+                                 f"streamed kernel's batch bound {b_max}")
+            if s_pool is None:
+                raise ValueError("kv_stream pools must size their context "
+                                 "explicitly (s_pool) — the VMEM bound "
+                                 "that sizes resident pools doesn't apply")
+            s_max = int(s_pool)
+        else:
+            s_max = mega_batch_max_context(dec["mega"], self.dcfg,
+                                           batch=self.pool)
         self.S = int(s_pool) if s_pool else s_max
-        if self.S % 128 or self.S <= 0:
+        if self.S % align or self.S <= 0:
             raise ValueError(f"pool context must be a positive multiple "
-                             f"of 128, got {self.S}")
+                             f"of {align}, got {self.S}")
         if self.S > s_max and not interpret:
             raise ValueError(f"pool context {self.S} exceeds the batched "
                              f"kernel's VMEM budget ({s_max})")
@@ -201,8 +219,13 @@ class ContinuousEngine:
         B, S = self.pool, self.S
         self._kq = jnp.zeros((B, L, S, DKV), jnp.int8)
         self._vq = jnp.zeros((B, L, S, DKV), jnp.int8)
-        self._ks = jnp.zeros((B, L, NKV, S), jnp.float32)
-        self._vs = jnp.zeros((B, L, NKV, S), jnp.float32)
+        if self.kv_stream:  # block-major scales [B, L, NB, NKV, KVB]
+            sshape = (B, L, S // KV_BLOCK, NKV, KV_BLOCK)
+            self._ks = jnp.zeros(sshape, jnp.float32)
+            self._vs = jnp.zeros(sshape, jnp.float32)
+        else:
+            self._ks = jnp.zeros((B, L, NKV, S), jnp.float32)
+            self._vs = jnp.zeros((B, L, NKV, S), jnp.float32)
         self._cur = np.zeros(B, np.int32)
         self._pos = np.ones(B, np.int32)  # dead lanes scribble row 1
         self._slots: list = [None] * B
@@ -256,6 +279,10 @@ class ContinuousEngine:
         offset = audio_start_pos(prompts[0], dcfg)
         P = max(-(-len(p) // self.prompt_bucket) * self.prompt_bucket
                 for p in prompts)
+        if P >= self.S:
+            raise ValueError(
+                f"admit(): bucketed prompt {P} does not fit the pool "
+                f"context {self.S} — caller must gate on eligible()")
         b_real = len(tickets)
         b = 1 << (b_real - 1).bit_length()  # pad count to a power of two
         toks = np.full((b, P), dcfg.pad_token_id, np.int32)
@@ -275,7 +302,7 @@ class ContinuousEngine:
         first, kq, vq, ks, vs = _prefill_slab(
             self.asr.params["decoder"], dcfg, jnp.asarray(toks),
             jnp.asarray(n_prompt), audio_pad, jnp.asarray(n_audio),
-            offset, self.S)
+            offset, self.S, kv_stream=self.kv_stream)
         first = np.asarray(first)
 
         idx = np.asarray(free[:b_real], np.int32)
@@ -314,7 +341,7 @@ class ContinuousEngine:
                     self._ks, self._vs, jnp.asarray(self._cur),
                     jnp.asarray(self._pos), jnp.asarray(live_mask),
                     self.dcfg, self.round_tokens,
-                    interpret=self.interpret))
+                    interpret=self.interpret, kv_stream=self.kv_stream))
             out, cur, pos = jax.device_get((out, cur, pos))
             # device_get hands back read-only views; admission writes
             # per-slot entries, so keep mutable host copies
@@ -354,6 +381,7 @@ class ContinuousEngine:
         return {
             "pool": self.pool,
             "context": self.S,
+            "kv_stream": self.kv_stream,
             "round_tokens": self.round_tokens,
             "rounds": self.n_rounds,
             "admitted": self.n_admitted,

@@ -17,6 +17,7 @@ Tensor names follow the reference converter (scripts/convert_hf_to_gguf.py).
 
 from __future__ import annotations
 
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,42 @@ from qwen3_asr_tpu.config import (
     default_aligner_config,
 )
 from qwen3_asr_tpu.runtime.gguf import GGUFFile
+
+
+def _np_f32(a) -> np.ndarray:
+    """bf16 (jax or ml_dtypes) -> float32 numpy through an XLA cast.
+    numpy-side conversions of bf16 buffers (`np.asarray(x, np.float32)`
+    or `.astype`) can take ml_dtypes' per-element fallback (measured
+    14-22 MB/s — minutes for the 0.6B decoder); the XLA cast is
+    vectorized and multithreaded, and under host_staging() it runs on
+    the CPU backend."""
+    a = jnp.asarray(a)
+    if a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    return np.asarray(a)
+
+
+@contextlib.contextmanager
+def host_staging():
+    """Run load-time param transforms with the CPU backend as the default
+    device. GGUF decode, quantization, fusing, and megakernel packing
+    allocate many intermediate jnp arrays; with a NETWORK-ATTACHED
+    accelerator as the default device every one of those is a tunnel
+    round trip (measured on this rig: the 0.6B int8pc quantize spent
+    ~4.5 min and the int4 clip-search pack ~6 min shipping intermediates
+    that a CPU-staged run computes in seconds-to-a-minute). Stage on the
+    host, then `jax.device_put` the finished tree ONCE.
+
+    JAX's threefry PRNG is backend-invariant, so synthetic init under
+    this context produces bit-identical weights. No-op when no separate
+    CPU backend exists."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +347,13 @@ def quantize_decoder_params(dec_params: dict, mode: str = "q8_0",
     for key in _DEC_QUANT_KEYS:
         if isinstance(layers[key], dict):
             continue  # already quantized (native Q8_0 GGUF load)
-        w = np.asarray(layers[key], dtype=np.float32)   # [L, in, out]
+        if mode == "int8pc":
+            # vectorized XLA path (same math as quantize_pc_weights,
+            # whole [L, in, out] stack in one multithreaded pass — the
+            # per-layer numpy loop measured ~40 s for the 0.6B decoder)
+            layers[key] = _quantize_pc_stack(layers[key])
+            continue
+        w = _np_f32(layers[key])                        # [L, in, out]
         qs, ss = [], []
         for l in range(w.shape[0]):
             q, s = per_layer(w[l])
@@ -321,19 +364,38 @@ def quantize_decoder_params(dec_params: dict, mode: str = "q8_0",
     out["layers"] = layers
     if not lm_head:
         return out
-    head = np.asarray(dec_params["token_embd"], np.float32).T  # [hidden, vocab]
     if mode == "q8_0" and "lm_head_q8" not in out:
         from qwen3_asr_tpu.ops.q8_matmul import quant_leaf
 
+        head = _np_f32(dec_params["token_embd"]).T      # [hidden, vocab]
         out["lm_head_q8"] = quant_leaf(
             head,
             pad_out_to=4096,  # the wide-output kernel tile (q8_matmul._tile_for)
         )
     elif mode == "int8pc" and "lm_head_pc" not in out:
-        from qwen3_asr_tpu.ops.q8_matmul import pc_leaf
-
-        out["lm_head_pc"] = pc_leaf(head)
+        out["lm_head_pc"] = _quantize_pc_stack(
+            jnp.asarray(dec_params["token_embd"]).astype(jnp.float32).T)
     return out
+
+
+@jax.jit
+def _quantize_pc_stack_jit(w):
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)                 # [..., out]
+    s = amax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
+    q = jnp.clip(jnp.round(wf * inv[..., None, :]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _quantize_pc_stack(w) -> dict:
+    """Per-output-channel int8 leaf from a dense [..., in, out] weight —
+    q8_matmul.quantize_pc_weights' math (absmax/127 scale per column,
+    round-half-even, clip) executed as ONE jitted XLA pass over the whole
+    stack instead of a per-layer numpy loop. Runs on the host backend
+    under host_staging()."""
+    q, s = _quantize_pc_stack_jit(jnp.asarray(w))
+    return {"i8pc:q": q, "i8pc:s": s}
 
 
 def fuse_decoder_params(dec_params: dict) -> dict:

@@ -120,6 +120,7 @@ class ASRServer:
         round_tokens: int = 64,
         pool: int | None = None,
         engine_context: int | None = None,
+        engine_kv_stream: bool = False,
     ):
         self.asr = asr
         self.aligner = aligner
@@ -147,6 +148,7 @@ class ASRServer:
                 prompt_bucket=self.params.prompt_bucket,
                 mel_bucket=self.params.mel_bucket or 500,
                 s_pool=engine_context,
+                kv_stream=engine_kv_stream,
                 interpret=not _pallas_ok())
         self._worker = threading.Thread(
             target=self._run_continuous if continuous else self._run,
@@ -953,6 +955,12 @@ def main(argv=None) -> int:
                         "maximum — right on TPU; set explicitly for "
                         "CPU/interpret runs where the VMEM bound is "
                         "meaningless")
+    p.add_argument("--engine-kv-stream", action="store_true",
+                   help="continuous mode: streamed-KV slot pool (VMEM "
+                        "O(1) in context) for long-audio serving — "
+                        "requires --engine-context (multiple of 256); "
+                        "slower per step than the resident pool at short "
+                        "contexts")
     args = p.parse_args(argv)
 
     import jax
@@ -992,6 +1000,7 @@ def main(argv=None) -> int:
         continuous=args.continuous,
         round_tokens=args.round_tokens,
         engine_context=args.engine_context or None,
+        engine_kv_stream=args.engine_kv_stream,
     )
     if args.warmup:
         server.warmup(tuple(float(s) for s in args.warmup.split(",")))

@@ -50,13 +50,16 @@ def _gate_mega_vs_xla(jax, jnp, cfg, dec_int8, audio, n_audio, toks,
     from qwen3_asr_tpu.models.generate import generate_greedy
     from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
 
+    from qwen3_asr_tpu.runtime.params import host_staging
+
     dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
     dec_xla = {k: v for k, v in dec_int8.items() if k != "mega"}
     out_x, _ = generate_greedy(
         jax.device_put(dec_xla), dcfg, toks, jnp.int32(n_prompt), audio,
         jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
     dec_mega = dict(dec_int8)
-    dec_mega["mega"] = pack_megakernel_params(dec_int8, cfg.decoder)
+    with host_staging():  # pack on host (leaves are host numpy)
+        dec_mega["mega"] = pack_megakernel_params(dec_int8, cfg.decoder)
     out_m, _ = generate_greedy(
         jax.device_put(dec_mega), dcfg, toks, jnp.int32(n_prompt), audio,
         jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
@@ -75,11 +78,16 @@ def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
     from qwen3_asr_tpu.models.generate import generate_greedy
     from qwen3_asr_tpu.ops import megakernel as mk
 
+    from qwen3_asr_tpu.runtime.params import host_staging
+
     dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
     dec_mega = dict(dec_int8)
-    dec_mega["mega"] = (mega_int4 if mega_int4 is not None
-                        else mk.pack_megakernel_params(dec_int8, cfg.decoder,
-                                                       int4=True))
+    if mega_int4 is not None:
+        dec_mega["mega"] = mega_int4
+    else:
+        with host_staging():  # pack on host (leaves are host numpy)
+            dec_mega["mega"] = mk.pack_megakernel_params(
+                dec_int8, cfg.decoder, int4=True)
     dec_mega = jax.device_put(dec_mega)
     P = toks.shape[0]
     S = -(-(P + STEPS) // mk.KV_BLOCK) * mk.KV_BLOCK
@@ -236,20 +244,27 @@ def run_chipgate(out_path: str = "CHIPTEST.json", cfg=None,
         if (mega is not None
                 and mega["qkv_q"].shape[2] == cfg.decoder.hidden_size // 2):
             mega_int4 = mega
-        dec = {k: v for k, v in dec.items() if k != "mega"}
+        # pull the tree to host ONCE: the gates re-pack megakernel params
+        # (host-side jits) and device_put their own copies; packing from
+        # device-committed leaves would run the dequant on the TPU and
+        # ship the dense f32 intermediate back over the tunnel
+        dec = {k: jax.tree.map(np.asarray, v)
+               for k, v in dec.items() if k != "mega"}
         result["params"] = "reused from caller"
     else:
         from qwen3_asr_tpu.runtime.params import (
             fuse_decoder_params,
+            host_staging,
             init_asr_params,
             quantize_decoder_params,
         )
 
         cfg = ASRModelConfig()
-        params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
-        dec = quantize_decoder_params(
-            jax.tree.map(np.asarray, params["decoder"]), "int8pc")
-        dec = fuse_decoder_params(dec)
+        with host_staging():  # transforms on host, not over the tunnel
+            params = init_asr_params(cfg, seed=0, dtype=jnp.bfloat16)
+            dec = quantize_decoder_params(
+                jax.tree.map(np.asarray, params["decoder"]), "int8pc")
+            dec = fuse_decoder_params(dec)
 
     rng = np.random.default_rng(1)
     n_audio = PROMPT - 40

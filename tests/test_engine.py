@@ -121,6 +121,27 @@ def test_slot_reuse_no_stale_state(rng):
     assert first["long"].tokens  # the long one produced something too
 
 
+def test_kv_stream_pool_matches_resident(rng):
+    """A streamed-KV slot pool (block-major scales, online-softmax KV
+    folding) produces the same transcripts as the resident pool — same
+    weights, same prefill, different attention structure."""
+    asr = _tiny_asr()
+    audios = [_tone(220, 1.0), _tone(440, 1.3)]
+
+    res = _engine(asr)
+    res.admit(["a", "b"], audios)
+    got_res = dict(_drain(res, 2))
+
+    stream = ContinuousEngine(asr, pool=2, round_tokens=2, max_tokens=6,
+                              prompt_bucket=32, mel_bucket=200,
+                              s_pool=256, kv_stream=True, interpret=True)
+    assert stream.stats()["kv_stream"] is True
+    stream.admit(["a", "b"], audios)
+    got_stream = dict(_drain(stream, 2))
+    for k in ("a", "b"):
+        assert got_stream[k].tokens == got_res[k].tokens, k
+
+
 def test_eos_budget_and_stats(rng):
     """Budget cap: a slot retires at max_tokens even though the device
     lane keeps stepping to the round edge; stats stay consistent."""
