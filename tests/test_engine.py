@@ -156,6 +156,32 @@ def test_eos_budget_and_stats(rng):
     assert 0.0 < s["slot_utilization"] <= 1.0
 
 
+def test_server_continuous_backlog_pressure(rng):
+    """More requests than pool slots, mixed lengths: pool-overflow
+    requests wait in the engine backlog (never the closed path) and all
+    transcripts match the single-utterance pipeline."""
+    from qwen3_asr_tpu.serve import ASRServer
+
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    freqs = [220, 330, 440, 550, 660, 880]
+    lens = [1.0, 0.6, 1.4, 0.9, 1.1, 0.7]
+    audios = [_tone(f, s) for f, s in zip(freqs, lens)]
+    expected = [asr.transcribe(a, params).tokens for a in audios]
+
+    server = ASRServer(asr, params, max_batch=8, continuous=True,
+                       pool=2, round_tokens=2, engine_context=128)
+    try:
+        futures = [server.submit(a) for a in audios]
+        got = [f.result(timeout=600) for f in futures]
+        assert [g.tokens for g in got] == expected
+        st = server._engine.stats()
+        assert st["completed"] == 6 and st["pool"] == 2
+    finally:
+        server.close()
+
+
 def test_server_continuous_mode(rng):
     """ASRServer(continuous=True) end-to-end: results match the closed
     batcher, mixed traffic (sampled override) still served, /healthz
