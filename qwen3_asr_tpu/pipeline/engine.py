@@ -213,6 +213,22 @@ class ContinuousEngine:
             raise ValueError(f"pool context {self.S} exceeds the batched "
                              f"kernel's VMEM budget ({s_max})")
 
+        self._alloc_pool()
+        B = self.pool
+        self._cur = np.zeros(B, np.int32)
+        self._pos = np.ones(B, np.int32)  # dead lanes scribble row 1
+        self._slots: list = [None] * B
+        # stats (serving observability)
+        self.n_rounds = 0
+        self.n_admitted = 0
+        self.n_completed = 0
+        self.busy_slot_steps = 0   # live-lane steps actually used
+        self.total_slot_steps = 0  # pool lanes x steps run
+
+    def _alloc_pool(self) -> None:
+        """(Re)allocate the device-side KV cache pool (zeros)."""
+        from qwen3_asr_tpu.ops.megakernel import KV_BLOCK
+
         L = self.dcfg.n_layers
         DKV = self.dcfg.n_kv_heads * self.dcfg.head_dim
         NKV = self.dcfg.n_kv_heads
@@ -226,15 +242,6 @@ class ContinuousEngine:
         else:
             self._ks = jnp.zeros((B, L, NKV, S), jnp.float32)
             self._vs = jnp.zeros((B, L, NKV, S), jnp.float32)
-        self._cur = np.zeros(B, np.int32)
-        self._pos = np.ones(B, np.int32)  # dead lanes scribble row 1
-        self._slots: list = [None] * B
-        # stats (serving observability)
-        self.n_rounds = 0
-        self.n_admitted = 0
-        self.n_completed = 0
-        self.busy_slot_steps = 0   # live-lane steps actually used
-        self.total_slot_steps = 0  # pool lanes x steps run
 
     # -- capacity ---------------------------------------------------------
 
@@ -376,6 +383,22 @@ class ContinuousEngine:
             self._slots[i] = None
             self.n_completed += 1
         return done
+
+    def fail_active(self, exc: Exception) -> list:
+        """Evict every occupied slot after a decode failure: returns
+        [(ticket, exc), ...] so the caller can fail their futures. The
+        pool caches are REALLOCATED — a failed donated round may have
+        invalidated the old buffers — and bookkeeping resets so the next
+        arrivals start clean."""
+        out = []
+        for i, slot in enumerate(self._slots):
+            if slot is not None:
+                out.append((slot.ticket, exc))
+                self._slots[i] = None
+        self._cur[:] = 0
+        self._pos[:] = 1
+        self._alloc_pool()
+        return out
 
     def stats(self) -> dict:
         return {

@@ -369,7 +369,16 @@ class ASRServer:
                         if not r.future.done():
                             r.future.set_exception(e)
             if eng.n_active():
-                completed = eng.run_round()
+                try:
+                    completed = eng.run_round()
+                except Exception as e:  # noqa: BLE001 — fail the slots,
+                    # not the worker thread (stranded futures hang
+                    # clients forever; the pool state is reset so the
+                    # next arrivals start clean)
+                    for ticket, res in eng.fail_active(e):
+                        if not ticket.future.done():
+                            ticket.future.set_exception(res)
+                    continue
                 for req, res in completed:
                     req.future.set_result(res)
                     self.n_served += 1

@@ -182,6 +182,41 @@ def test_server_continuous_backlog_pressure(rng):
         server.close()
 
 
+def test_decode_failure_fails_slots_not_worker(rng, monkeypatch):
+    """A decode-round crash must fail the in-flight futures and leave the
+    worker + pool serviceable for the next request (donated buffers are
+    reallocated by fail_active)."""
+    import qwen3_asr_tpu.pipeline.engine as ENG
+    from qwen3_asr_tpu.serve import ASRServer
+
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    a = _tone(440, 1.0)
+    expected = asr.transcribe(a, params).tokens
+
+    server = ASRServer(asr, params, max_batch=2, continuous=True,
+                       round_tokens=2, engine_context=128)
+    try:
+        real = ENG._decode_round
+
+        def boom(*args, **kw):
+            raise RuntimeError("injected decode failure")
+
+        monkeypatch.setattr(ENG, "_decode_round", boom)
+        fut = server.submit(a)
+        try:
+            fut.result(timeout=300)
+            raise AssertionError("expected the injected failure")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+        monkeypatch.setattr(ENG, "_decode_round", real)
+        ok = server.submit(a).result(timeout=300)  # pool recovered
+        assert ok.success and ok.tokens == expected
+    finally:
+        server.close()
+
+
 def test_server_continuous_mode(rng):
     """ASRServer(continuous=True) end-to-end: results match the closed
     batcher, mixed traffic (sampled override) still served, /healthz
