@@ -142,6 +142,7 @@ class _Slot:
     max_tokens: int
     t_start: float
     finished: bool = False       # EOS seen or budget hit
+    notified: int = 0            # tokens already reported via on_progress
 
 
 class ContinuousEngine:
@@ -218,6 +219,10 @@ class ContinuousEngine:
         self._cur = np.zeros(B, np.int32)
         self._pos = np.ones(B, np.int32)  # dead lanes scribble row 1
         self._slots: list = [None] * B
+        # optional per-round progress hook: called on the driving thread
+        # as on_progress(ticket, new_token_ids) after every round for each
+        # slot that gained tokens (streaming deltas ride this — serve.py)
+        self.on_progress = None
         # stats (serving observability)
         self.n_rounds = 0
         self.n_admitted = 0
@@ -370,6 +375,16 @@ class ContinuousEngine:
                     if len(slot.tokens) >= slot.max_tokens:
                         slot.finished = True
                         break
+
+        if self.on_progress is not None:
+            # token-level progress (before the completion scan frees
+            # slots): covers tokens from this round AND the admit-time
+            # first token of slots that never saw a live round
+            for slot in self._slots:
+                if slot is None or len(slot.tokens) <= slot.notified:
+                    continue
+                self.on_progress(slot.ticket, slot.tokens[slot.notified:])
+                slot.notified = len(slot.tokens)
 
         for i, slot in enumerate(self._slots):
             if slot is None or not slot.finished:

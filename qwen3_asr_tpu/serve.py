@@ -86,6 +86,47 @@ def _pallas_ok() -> bool:
     return has_pallas_tpu()
 
 
+class _StreamDelta:
+    """Incremental token-ids -> text-delta decoder for streaming
+    responses: re-decodes the accumulated ids, holds back partial UTF-8
+    at the token boundary (trailing U+FFFD from the byte decoder), and
+    strips the 'language Xxx' prefix incrementally
+    (StreamingTranscriptCleaner). Shared by the solo per-token stream
+    path (_run_stream) and the continuous engine's per-round progress
+    hook."""
+
+    def __init__(self, tokenizer):
+        from qwen3_asr_tpu.text.prompt import StreamingTranscriptCleaner
+
+        self._tok = tokenizer
+        self._ids: list[int] = []
+        self._prev = ""
+        self._cleaner = StreamingTranscriptCleaner()
+
+    def feed(self, new_ids) -> str:
+        """Absorb newly decoded token ids; return the text delta ready to
+        emit ("" while the decode is not yet prefix-stable)."""
+        self._ids.extend(int(t) for t in new_ids)
+        text = self._tok.decode(self._ids)
+        while text.endswith("�"):
+            text = text[:-1]  # partial UTF-8: wait for the next token
+        if text.startswith(self._prev) and len(text) > len(self._prev):
+            delta = self._cleaner.feed(text[len(self._prev):])
+            self._prev = text
+            return delta
+        # non-prefix-stable decode (held bytes resolving differently)
+        # simply waits for more tokens; finish() reconciles at the end
+        return ""
+
+    def finish(self, full: str) -> str:
+        """Reconcile against the authoritative full decode: returns the
+        final tail delta (possibly "")."""
+        tail = self._cleaner.feed(full[len(self._prev):]) if (
+            full.startswith(self._prev) and len(full) > len(self._prev)
+        ) else ""
+        return tail + self._cleaner.flush()
+
+
 @dataclass
 class _Request:
     samples: np.ndarray
@@ -95,6 +136,7 @@ class _Request:
     stream_q: queue.Queue | None = None  # set: SSE streaming request
     params: TranscribeParams | None = None  # set: per-request override
     #  (e.g. temperature sampling) — runs alone, outside the greedy batch
+    delta: object = None  # worker-side _StreamDelta (engine streaming)
 
 
 def _request_kind(req: _Request) -> str:
@@ -459,25 +501,12 @@ class ASRServer:
         (StreamingTranscriptCleaner) so deltas carry only transcript
         text. Ends with ("done", result) — result.text prefix-stripped —
         or ("error", msg)."""
-        from qwen3_asr_tpu.text.prompt import StreamingTranscriptCleaner
-
-        state = {"ids": [], "prev": ""}
-        cleaner = StreamingTranscriptCleaner()
+        sd = _StreamDelta(self.asr.tokenizer)
 
         def on_id(tok: int):
-            state["ids"].append(tok)
-            text = self.asr.tokenizer.decode(state["ids"])
-            while text.endswith("�"):
-                text = text[:-1]  # partial UTF-8: wait for the next token
-            prev = state["prev"]
-            if text.startswith(prev) and len(text) > len(prev):
-                state["prev"] = text
-                delta = cleaner.feed(text[len(prev):])
-                if delta:
-                    req.stream_q.put(("delta", delta))
-            # non-prefix-stable decode (held bytes resolving differently)
-            # simply waits for the next token; the final pass below
-            # reconciles against the authoritative full decode
+            delta = sd.feed([tok])
+            if delta:
+                req.stream_q.put(("delta", delta))
 
         self.asr.set_token_callback(on_id)
         try:
@@ -487,16 +516,10 @@ class ASRServer:
         if not result.success:
             req.stream_q.put(("error", result.error_msg))
             return
-        full = result.text
-        prev = state["prev"]
-        tail = cleaner.feed(full[len(prev):]) if (
-            full.startswith(prev) and len(full) > len(prev)) else ""
-        tail += cleaner.flush()
+        tail = sd.finish(result.text)
         if tail:
             req.stream_q.put(("delta", tail))
-        from qwen3_asr_tpu.text.prompt import extract_transcript
-
-        result.text = extract_transcript(full)
+        result.text = extract_transcript(result.text)
         req.stream_q.put(("done", result))
 
     def _run_align(self, batch: list[_Request]) -> list:
