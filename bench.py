@@ -172,7 +172,9 @@ def main():
                     params["decoder"], cfg.decoder, int4=quant == "int4")
             except ValueError:
                 use_mega = False
-    params = jax.device_put(params)
+    from qwen3_asr_tpu.runtime.params import ship_to_device
+
+    params = ship_to_device(params)  # explicit target + residency assert
     dcfg = cfg.decoder
     # BENCH_KV: KV cache dtype — int8 (default), int4, or bf16. With the
     # decode megakernels smaller KV is strictly faster (int8: 0.698 vs
@@ -369,19 +371,18 @@ def main():
         },
     }
 
-    # The bench artifact line goes out FIRST: the chipgate below is a
-    # separate artifact (CHIPTEST.json) and must never be able to hold the
-    # benchmark number hostage to its own runtime or a crash.
-    print(json.dumps(result), flush=True)
-
-    # On-chip kernel gate (VERDICT r3 #6): all pytest runs exercise the
-    # Pallas kernels in interpret mode on CPU; this runs the real Mosaic
-    # binaries against their XLA contracts and writes CHIPTEST.json next
-    # to the bench artifact. Never fails the bench — a failed gate is a
-    # recorded red flag, not a missing benchmark. The gate reuses this
-    # run's already-initialized int8pc decoder (and its int4 megakernel
-    # pack, which carries the expensive clip search) instead of spending
-    # ~15 min rebuilding the same synthetic params from the same seed.
+    # On-chip kernel gate (VERDICT r3 #6 / r4 weak#2): all pytest runs
+    # exercise the Pallas kernels in interpret mode on CPU; this runs the
+    # real Mosaic binaries against their XLA contracts, writes
+    # CHIPTEST.json, AND embeds the verdicts in the bench artifact so a
+    # failing gate is unmissable (top-level "gates_pass" + nonzero rc) —
+    # the r4 ordering printed the artifact first and the gate stopped
+    # gating. A chipgate *crash* still cannot hold the benchmark number
+    # hostage (try/except -> gates_pass=false with the error recorded).
+    # The gate reuses this run's already-initialized int8pc decoder (and
+    # its int4 megakernel pack, which carries the expensive clip search)
+    # instead of spending ~15 min rebuilding the same params.
+    gates_pass = True
     if pallas_ok and os.environ.get("QWEN3_CHIPGATE", "1") == "1":
         try:
             sys.path.insert(0, os.path.join(
@@ -391,13 +392,22 @@ def main():
             print("bench: chipgate (on-chip kernel-vs-XLA equality)...",
                   file=sys.stderr, flush=True)
             reuse = params["decoder"] if quant in ("int8pc", "int4") else None
-            run_chipgate(
+            chip = run_chipgate(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "CHIPTEST.json"),
                 cfg=cfg if reuse is not None else None, dec=reuse)
+            gates_pass = bool(chip.get("pass"))
+            result["detail"]["gates"] = {
+                k: bool(v.get("pass")) for k, v in chip["gates"].items()}
         except Exception as e:  # noqa: BLE001
             print(f"bench: chipgate failed to run ({e!r})",
                   file=sys.stderr, flush=True)
+            gates_pass = False
+            result["detail"]["gates"] = {"error": f"{type(e).__name__}: {e}"}
+    result["gates_pass"] = gates_pass
+
+    print(json.dumps(result), flush=True)
+    return 0 if gates_pass else 1
 
 
 if __name__ == "__main__":

@@ -57,8 +57,7 @@ def main():
         table = _byte_to_unicode()
         vocab = [table[b] for b in range(256)]
         vocab += [f"[PAD{i}]" for i in range(256, cfg.decoder.vocab_size)]
-        fa.load_random(cfg, seed=0, vocab=vocab)
-        fa.params = jax.device_put(fa.params)
+        fa.load_random(cfg, seed=0, vocab=vocab)  # ships + asserts residency
 
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * 16000)) / 16000

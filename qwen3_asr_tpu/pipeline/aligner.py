@@ -149,7 +149,7 @@ class ForcedAligner:
 
     def load_model(self, model_path: str) -> bool:
         try:
-            from qwen3_asr_tpu.runtime.params import host_staging
+            from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
             with host_staging():  # transforms on host; ONE device_put
                 self.cfg, self.params, vocab, merges = load_aligner_model(
@@ -158,7 +158,7 @@ class ForcedAligner:
                 self.tokenizer = BPETokenizer(vocab, merges)
                 self.mel_filters = generate_mel_filters()
                 self._prepare_decoder()
-            self.params = jax.device_put(self.params)
+            self.params = ship_to_device(self.params)
             return True
         except Exception as e:
             self.error_msg = f"Failed to load model: {e}"
@@ -166,13 +166,13 @@ class ForcedAligner:
 
     def load_random(self, cfg: AlignerModelConfig, seed: int = 0,
                     vocab=None, merges=None) -> None:
-        from qwen3_asr_tpu.runtime.params import host_staging
+        from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
         self.cfg = cfg
         with host_staging():
             self.params = init_aligner_params(cfg, seed, self.dtype)
             self._prepare_decoder()
-        self.params = jax.device_put(self.params)
+        self.params = ship_to_device(self.params)
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

@@ -120,7 +120,7 @@ class Qwen3ASR:
     def load_model(self, model_path: str) -> bool:
         try:
             t0 = time.perf_counter()
-            from qwen3_asr_tpu.runtime.params import host_staging
+            from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
             with host_staging():  # transforms on host; ONE device_put below
                 self.cfg, self.params, vocab, merges = load_asr_model(
@@ -146,7 +146,7 @@ class Qwen3ASR:
                 self.params["decoder"] = fuse_decoder_params(
                     self.params["decoder"])
                 self._maybe_pack_megakernel(quantize)
-            self.params = jax.device_put(self.params)
+            self.params = ship_to_device(self.params)
             print(
                 f"Model loaded in {int((time.perf_counter() - t0) * 1000)} ms",
                 file=sys.stderr, flush=True,
@@ -160,7 +160,7 @@ class Qwen3ASR:
                     vocab: list[str] | None = None,
                     merges: list[str] | None = None) -> None:
         """Synthetic weights (benchmarks / tests without model files)."""
-        from qwen3_asr_tpu.runtime.params import host_staging
+        from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
         self.cfg = cfg
         with host_staging():  # transforms on host; ONE device_put below
@@ -180,7 +180,7 @@ class Qwen3ASR:
             self.params["decoder"] = fuse_decoder_params(
                 self.params["decoder"])
             self._maybe_pack_megakernel(quantize)
-        self.params = jax.device_put(self.params)
+        self.params = ship_to_device(self.params)
         self.tokenizer = BPETokenizer(vocab or [], merges or [])
         self.mel_filters = generate_mel_filters()
 

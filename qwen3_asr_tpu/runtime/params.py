@@ -69,6 +69,51 @@ def host_staging():
         yield
 
 
+def assert_resident(tree, device=None, what: str = "params") -> None:
+    """Hard-fail unless every jax.Array leaf of `tree` lives on `device`
+    (default: the primary accelerator). Guards against the class of bug
+    where host-staged arrays silently stay on the CPU backend and every
+    dispatch re-ships them over the host link (round-4 regression:
+    ~0.5 GB of weights per call -> 3x realtime instead of 331x)."""
+    if device is None:
+        device = jax.devices()[0]
+    bad = []
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    for path, leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            devs = leaf.devices()
+            if device not in devs:
+                bad.append((jax.tree_util.keystr(path), sorted(
+                    str(d) for d in devs)))
+    if bad:
+        head = ", ".join(f"{p} on {d}" for p, d in bad[:4])
+        raise RuntimeError(
+            f"{what}: {len(bad)}/{len(leaves)} leaves NOT resident on "
+            f"{device} ({head}{'...' if len(bad) > 4 else ''}). "
+            "A target-less jax.device_put does not move committed arrays; "
+            "use ship_to_device() after host_staging()."
+        )
+
+
+def ship_to_device(tree, device=None, what: str = "params"):
+    """Move a (host-staged) param tree onto the accelerator — the ONLY
+    correct way to end a host_staging() block.
+
+    A bare ``jax.device_put(tree)`` (no target) does NOT move existing
+    committed ``jax.Array`` leaves: arrays created under
+    ``jax.default_device(cpu)`` stay on the CPU backend, and every later
+    accelerator dispatch re-uploads them over the host link. Passing the
+    explicit device moves them once; the residency assertion makes any
+    future regression fail loudly at load time instead of shipping as a
+    silent 100x slowdown."""
+    if device is None:
+        device = jax.devices()[0]
+    tree = jax.device_put(tree, device)
+    tree = jax.block_until_ready(tree)
+    assert_resident(tree, device, what)
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # hparams from GGUF metadata (defaults per reference parse functions)
 # ---------------------------------------------------------------------------

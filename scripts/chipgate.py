@@ -50,18 +50,18 @@ def _gate_mega_vs_xla(jax, jnp, cfg, dec_int8, audio, n_audio, toks,
     from qwen3_asr_tpu.models.generate import generate_greedy
     from qwen3_asr_tpu.ops.megakernel import pack_megakernel_params
 
-    from qwen3_asr_tpu.runtime.params import host_staging
+    from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
     dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
     dec_xla = {k: v for k, v in dec_int8.items() if k != "mega"}
     out_x, _ = generate_greedy(
-        jax.device_put(dec_xla), dcfg, toks, jnp.int32(n_prompt), audio,
+        ship_to_device(dec_xla), dcfg, toks, jnp.int32(n_prompt), audio,
         jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
     dec_mega = dict(dec_int8)
     with host_staging():  # pack on host (leaves are host numpy)
         dec_mega["mega"] = pack_megakernel_params(dec_int8, cfg.decoder)
     out_m, _ = generate_greedy(
-        jax.device_put(dec_mega), dcfg, toks, jnp.int32(n_prompt), audio,
+        ship_to_device(dec_mega), dcfg, toks, jnp.int32(n_prompt), audio,
         jnp.int32(n_audio), 3, STEPS, cache_dtype=jnp.int8)
     a, b = np.asarray(out_x), np.asarray(out_m)
     n_match = int((a == b).sum())
@@ -78,7 +78,7 @@ def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
     from qwen3_asr_tpu.models.generate import generate_greedy
     from qwen3_asr_tpu.ops import megakernel as mk
 
-    from qwen3_asr_tpu.runtime.params import host_staging
+    from qwen3_asr_tpu.runtime.params import host_staging, ship_to_device
 
     dcfg = dataclasses.replace(cfg.decoder, eos_token_id=-1)
     dec_mega = dict(dec_int8)
@@ -88,7 +88,7 @@ def _gate_stream_vs_resident(jax, jnp, cfg, dec_int8, audio, n_audio,
         with host_staging():  # pack on host (leaves are host numpy)
             dec_mega["mega"] = mk.pack_megakernel_params(
                 dec_int8, cfg.decoder, int4=True)
-    dec_mega = jax.device_put(dec_mega)
+    dec_mega = ship_to_device(dec_mega)
     P = toks.shape[0]
     S = -(-(P + STEPS) // mk.KV_BLOCK) * mk.KV_BLOCK
     L = cfg.decoder.n_layers

@@ -238,3 +238,56 @@ def test_aligner_end_to_end(tmp_path):
         # 80 ms class of slack
         assert abs(gs - ws) <= 0.08 + 1e-6
         assert abs(ge - we) <= 0.08 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# weight residency (round-4 regression: a bare target-less jax.device_put
+# does NOT move committed arrays off the CPU staging backend — every
+# dispatch then re-ships ~0.5 GB of weights over the host link)
+# ---------------------------------------------------------------------------
+
+def test_ship_to_device_moves_staged_tree():
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.runtime.params import (
+        assert_resident,
+        host_staging,
+        ship_to_device,
+    )
+
+    with host_staging():
+        tree = {"w": jnp.ones((4, 4)), "b": np.zeros(3, np.float32)}
+    shipped = ship_to_device(tree)
+    target = jax.devices()[0]
+    for leaf in jax.tree.leaves(shipped):
+        assert target in leaf.devices()
+    assert_resident(shipped)  # must not raise
+
+
+def test_assert_resident_catches_misplaced_leaf():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from qwen3_asr_tpu.runtime.params import assert_resident
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        _pytest.skip("needs >=2 devices (conftest forces 8 virtual CPUs)")
+    tree = {"good": jax.device_put(jnp.ones(2), devs[0]),
+            "bad": jax.device_put(jnp.ones(2), devs[1])}
+    with _pytest.raises(RuntimeError, match="NOT resident"):
+        assert_resident(tree, devs[0])
+
+
+def test_load_random_params_are_device_resident():
+    """The pipeline load paths must end with every leaf on the primary
+    device (pipeline/asr.py load_model/load_random -> ship_to_device)."""
+    import jax
+
+    from qwen3_asr_tpu.runtime.params import assert_resident
+
+    asr = Qwen3ASR(dtype=jnp.bfloat16)
+    asr.load_random(tiny_asr_config())
+    assert_resident(asr.params, jax.devices()[0])
