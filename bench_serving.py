@@ -157,6 +157,65 @@ def main():
         finally:
             server.close()
 
+    def run_poisson(lam_rps: float, label: str, rt: int) -> dict:
+        """Continuous engine under Poisson arrivals at rate lam_rps:
+        per-request latency + the engine's slot utilization over the
+        timed phase (busy-lane steps / pool-lane steps — the margin the
+        round-based design trades for bounded admission latency)."""
+        server = ASRServer(asr, params, max_batch=pool, max_wait_ms=5.0,
+                           continuous=True, round_tokens=rt,
+                           engine_context=engine_context)
+        try:
+            print(f"bench_serving[poisson {label} rt={rt}]: warmup...",
+                  file=sys.stderr, flush=True)
+            for burst in (1, 2, 4, pool):
+                futs = [server.submit(audios[i % n_req])
+                        for i in range(burst)]
+                for f in futs:
+                    assert f.result(timeout=3600).success
+            eng = server._engine
+            busy0, total0 = eng.busy_slot_steps, eng.total_slot_steps
+            print(f"bench_serving[poisson {label} rt={rt}]: timing...",
+                  file=sys.stderr, flush=True)
+            arr_rng = np.random.default_rng(7)
+            gaps = arr_rng.exponential(1.0 / lam_rps, n_req)
+            gaps[0] = 0.0
+            arrival = np.cumsum(gaps)
+            done_at: dict = {}
+            sub_at: list = []
+            futs = []
+            t0 = time.perf_counter()
+            for i, a in enumerate(audios):
+                target = t0 + arrival[i]
+                now = time.perf_counter()
+                if target > now:
+                    time.sleep(target - now)
+                sub_at.append(time.perf_counter())
+                fut = server.submit(a)
+                fut.add_done_callback(
+                    lambda f, i=i: done_at.__setitem__(
+                        i, time.perf_counter()))
+                futs.append(fut)
+            total_tokens = 0
+            for f in futs:
+                r = f.result(timeout=3600)
+                assert r.success
+                total_tokens += len(r.tokens)
+            makespan = time.perf_counter() - t0
+            lats = [(done_at[i] - sub_at[i]) * 1e3 for i in range(n_req)]
+            busy = eng.busy_slot_steps - busy0
+            total = eng.total_slot_steps - total0
+            return {
+                "offered_rps": round(lam_rps, 3),
+                "latency_ms_p50": round(_percentile(lats, 50), 1),
+                "latency_ms_p95": round(_percentile(lats, 95), 1),
+                "aggregate_tok_s": round(total_tokens / makespan, 1),
+                "slot_utilization": round(busy / max(total, 1), 3),
+                "rounds": eng.n_rounds,
+            }
+        finally:
+            server.close()
+
     detail = {
         "n_requests": n_req, "gap_ms": gap_ms,
         "audio_seconds_each": seconds, "tokens_each": n_tokens,
@@ -164,6 +223,36 @@ def main():
         "weights": "synthetic-bf16" + (f"+{quant}" if quant else ""),
         "device": None,
     }
+    # BENCH_ARRIVALS=poisson (VERDICT r4 #7): capacity-calibrated Poisson
+    # arrivals at 0.5x/1x/2x through the continuous engine, reporting
+    # slot utilization + latency per load, plus a round_tokens sweep at
+    # 1x (BENCH_RT_SWEEP, default "16,32,64") to justify the default.
+    if os.environ.get("BENCH_ARRIVALS", "staggered") == "poisson":
+        # capacity: saturated closed burst -> requests/s the pool sustains
+        sat = run_poisson(1e3, "saturate", round_tokens)  # all arrive ~at once
+        cap_rps = sat["aggregate_tok_s"] / n_tokens
+        detail["capacity_rps"] = round(cap_rps, 3)
+        detail["saturated"] = sat
+        for load in (0.5, 1.0, 2.0):
+            detail[f"poisson_{load}x"] = run_poisson(
+                cap_rps * load, f"{load}x", round_tokens)
+        sweep = {}
+        for rt in [int(x) for x in os.environ.get(
+                "BENCH_RT_SWEEP", "16,32,64").split(",") if x]:
+            if rt == round_tokens:
+                sweep[str(rt)] = detail["poisson_1.0x"]
+            else:
+                sweep[str(rt)] = run_poisson(cap_rps, f"1x", rt)
+        detail["round_tokens_sweep_1x"] = sweep
+        detail["device"] = str(jax.devices()[0])
+        one = detail["poisson_1.0x"]
+        print(json.dumps({
+            "metric": "serving_poisson_slot_utilization",
+            "value": one["slot_utilization"], "unit": "fraction",
+            "vs_baseline": 0.0, "detail": detail,
+        }))
+        return 0
+
     for mode in modes:
         detail[mode.strip()] = run_mode_lat(mode.strip() == "continuous")
     detail["device"] = str(jax.devices()[0])

@@ -379,11 +379,21 @@ class ContinuousEngine:
         if self.on_progress is not None:
             # token-level progress (before the completion scan frees
             # slots): covers tokens from this round AND the admit-time
-            # first token of slots that never saw a live round
+            # first token of slots that never saw a live round. A raising
+            # callback must not escape run_round — the serving worker's
+            # except path calls fail_active() and would evict EVERY
+            # active slot over one bad streaming consumer.
             for slot in self._slots:
                 if slot is None or len(slot.tokens) <= slot.notified:
                     continue
-                self.on_progress(slot.ticket, slot.tokens[slot.notified:])
+                try:
+                    self.on_progress(slot.ticket,
+                                     slot.tokens[slot.notified:])
+                except Exception as e:  # noqa: BLE001 — log and continue
+                    import sys as _sys
+
+                    print(f"engine: on_progress callback raised {e!r} "
+                          "(ignored)", file=_sys.stderr, flush=True)
                 slot.notified = len(slot.tokens)
 
         for i, slot in enumerate(self._slots):

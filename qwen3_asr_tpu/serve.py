@@ -374,28 +374,45 @@ class ASRServer:
                 i += 1
         return batch
 
+    def _engine_progress(self, req: _Request, new_ids) -> None:
+        """Engine on_progress hook: per-round text deltas for streaming
+        requests riding the slot pool (req.delta = _StreamDelta attached
+        at classification time). Non-stream tickets have no queue and
+        are skipped."""
+        if req.stream_q is None or req.delta is None:
+            return
+        text = req.delta.feed(new_ids)
+        if text:
+            req.stream_q.put(("delta", text))
+
     def _run_continuous(self):
         """Continuous-batching worker (pipeline/engine.py): greedy
-        default-params ASR requests prefill into the slot pool between
-        decode rounds (admission latency <= one round instead of one
-        whole batch decode); align/stream/sampled/too-long requests take
-        the closed-batch path between rounds. One thread, one device
-        owner — same as the closed-batch worker."""
+        default-params ASR requests — including SSE streaming ones, which
+        get their text deltas from the engine's per-round progress hook —
+        prefill into the slot pool between decode rounds (admission
+        latency <= one round instead of one whole batch decode);
+        align/sampled/too-long requests take the closed-batch path
+        between rounds. One thread, one device owner — same as the
+        closed-batch worker."""
         eng = self._engine
+        eng.on_progress = self._engine_progress
         backlog: deque = deque()  # engine-eligible requests awaiting a slot
         while not self._stop.is_set():
             self._drain_queue(block=eng.n_active() == 0 and not backlog
                               and not self._pending)
             if self._stop.is_set():
                 break
-            # classify arrivals: pool-eligible greedy ASR waits for a slot
-            # (never falls onto the closed path — a closed batch would
-            # stall the pool for a full decode), everything else goes to
-            # the closed-batch path
+            # classify arrivals: pool-eligible greedy ASR (plain or
+            # streaming) waits for a slot (never falls onto the closed
+            # path — a closed batch would stall the pool for a full
+            # decode), everything else goes to the closed-batch path
             rest: deque = deque()
             for req in self._pending:
-                if (_request_kind(req) == "asr"
+                if (_request_kind(req) in ("asr", "stream")
+                        and req.params is None
                         and eng.eligible(len(req.samples))):
+                    if req.stream_q is not None:
+                        req.delta = _StreamDelta(self.asr.tokenizer)
                     backlog.append(req)
                 else:
                     rest.append(req)
@@ -408,6 +425,8 @@ class ASRServer:
                     eng.admit(admit, [r.samples for r in admit])
                 except Exception as e:  # noqa: BLE001
                     for r in admit:
+                        if r.stream_q is not None:
+                            r.stream_q.put(("error", str(e)))
                         if not r.future.done():
                             r.future.set_exception(e)
             if eng.n_active():
@@ -418,10 +437,23 @@ class ASRServer:
                     # clients forever; the pool state is reset so the
                     # next arrivals start clean)
                     for ticket, res in eng.fail_active(e):
+                        if ticket.stream_q is not None:
+                            ticket.stream_q.put(("error", str(res)))
                         if not ticket.future.done():
                             ticket.future.set_exception(res)
                     continue
                 for req, res in completed:
+                    if req.stream_q is not None:
+                        # streaming completion: reconcile the final tail
+                        # against the authoritative full decode, then
+                        # deliver the same ("done", result) contract as
+                        # the solo _run_stream path
+                        tail = (req.delta.finish(res.text)
+                                if req.delta is not None else "")
+                        if tail:
+                            req.stream_q.put(("delta", tail))
+                        res.text = extract_transcript(res.text)
+                        req.stream_q.put(("done", res))
                     req.future.set_result(res)
                     self.n_served += 1
                 self.n_batches += 1

@@ -12,8 +12,34 @@ else
     echo "SKIP native build failed (pure-Python fallbacks active)"
 fi
 
-echo "=== pytest suite ==="
-python -m pytest tests/ -q || exit 1
+echo "=== pytest suite (per-file shards) ==="
+# One subprocess per test file: after hundreds of XLA-CPU compiles in a
+# single process the compiler can SIGSEGV (r4: suite died at
+# tests/test_streaming.py inside backend_compile_and_load while the same
+# file passes alone). Per-file isolation bounds compiles per process and
+# keeps one crash from killing the whole gate; the persistent compile
+# cache (conftest.py) keeps the per-shard cost to interpreter+import.
+fails=()
+total_pass=0
+for f in tests/test_*.py; do
+    out=$(python -m pytest "$f" -q 2>&1)
+    rc=$?
+    tail_line=$(echo "$out" | grep -E "passed|failed|error" | tail -1)
+    if [[ $rc -ne 0 ]]; then
+        echo "FAIL $f (rc=$rc): $tail_line"
+        echo "$out" | tail -30
+        fails+=("$f")
+    else
+        echo "OK   $f: $tail_line"
+        n=$(echo "$tail_line" | grep -oE "[0-9]+ passed" | grep -oE "[0-9]+")
+        total_pass=$((total_pass + ${n:-0}))
+    fi
+done
+echo "pytest shards: ${total_pass} passed, ${#fails[@]} failed file(s)"
+if [[ ${#fails[@]} -gt 0 ]]; then
+    echo "failed files: ${fails[*]}"
+    exit 1
+fi
 
 MODEL="${QWEN3_ASR_GGUF:-models/qwen3-asr-0.6b-f16.gguf}"
 AUDIO="${QWEN3_ASR_WAV:-sample.wav}"

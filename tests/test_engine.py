@@ -260,3 +260,42 @@ def test_server_continuous_mode(rng):
             httpd.shutdown()
     finally:
         server.close()
+
+
+def test_stream_rides_continuous_pool(rng):
+    """SSE streaming requests ride the slot pool in continuous mode
+    (engine on_progress hook -> per-round deltas): deltas concatenate to
+    the final prefix-stripped text, tokens match the closed path, and
+    the request is counted as an ENGINE completion (not _run_stream)."""
+    from qwen3_asr_tpu.serve import ASRServer
+    from qwen3_asr_tpu.text.prompt import extract_transcript
+
+    asr = _tiny_asr()
+    params = TranscribeParams(max_tokens=4, print_timing=False,
+                              prompt_bucket=32, mel_bucket=200)
+    audio = _tone(440, 1.0)
+    plain = asr.transcribe(audio, params)
+    assert plain.success
+
+    server = ASRServer(asr, params, max_batch=4, continuous=True,
+                       round_tokens=2, engine_context=128)
+    try:
+        q = server.submit_stream(audio)
+        deltas, done = [], None
+        while True:
+            kind, value = q.get(timeout=300)
+            if kind == "delta":
+                deltas.append(value)
+            elif kind == "done":
+                done = value
+                break
+            else:
+                raise AssertionError(f"stream error: {value}")
+        assert done.success
+        assert done.tokens == plain.tokens
+        assert done.text == extract_transcript(plain.text)
+        assert "".join(deltas) == done.text
+        # the stream went through the pool, not the solo token-callback path
+        assert server._engine.n_completed == 1
+    finally:
+        server.close()
