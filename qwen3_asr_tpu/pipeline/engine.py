@@ -51,16 +51,11 @@ from qwen3_asr_tpu.text import build_asr_prompt
 from qwen3_asr_tpu.text.prompt import audio_start_pos
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_steps", "interpret", "kv_stream"),
-    donate_argnums=(1, 2, 3, 4),
-)
-def _decode_round(
+def _round_impl(
     dec_params: dict,
-    k_cache: jax.Array,   # [B, L, S, DKV] int8 (donated)
+    k_cache: jax.Array,   # [B, L, S, DKV] int8
     v_cache: jax.Array,
-    k_scale: jax.Array,   # [B, L, NKV, S] f32 (resident layout; donated)
+    k_scale: jax.Array,   # [B, L, NKV, S] f32 (resident layout)
     v_scale: jax.Array,
     cur: jax.Array,       # [B] int32 — token each live slot feeds next
     pos: jax.Array,       # [B] int32 — cache row cur's KV lands in
@@ -71,11 +66,12 @@ def _decode_round(
     interpret: bool = False,
     kv_stream: bool = False,
 ):
-    """One decode round: n_steps batched megakernel steps in one
-    dispatch. Returns (out [B, n_steps] int32 with -1 in dead lanes,
-    cur, pos, live, caches...). A lane that emits EOS mid-round records
-    the EOS token, then freezes (its pos stops advancing so the lane
-    keeps overwriting one scratch row)."""
+    """One decode round: n_steps batched megakernel steps. Returns
+    (out [B, n_steps] int32 with -1 in dead lanes, cur, pos, live,
+    caches...). A lane that emits EOS mid-round records the EOS token,
+    then freezes (its pos stops advancing so the lane keeps overwriting
+    one scratch row). Unjitted body shared by the single-device round
+    and the dp shard_map round."""
     from qwen3_asr_tpu.ops.megakernel_batch import mega_decode_step_batch
 
     B = cur.shape[0]
@@ -98,6 +94,50 @@ def _decode_round(
             0, n_steps, body,
             (cur, pos, live, k_cache, v_cache, k_scale, v_scale, out0)))
     return out, cur, pos, live, k_cache, v_cache, k_scale, v_scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "interpret", "kv_stream"),
+    donate_argnums=(1, 2, 3, 4),
+)
+def _decode_round(dec_params, k_cache, v_cache, k_scale, v_scale,
+                  cur, pos, live, cfg, n_steps,
+                  interpret=False, kv_stream=False):
+    """Single-device decode round (see _round_impl; caches donated)."""
+    return _round_impl(dec_params, k_cache, v_cache, k_scale, v_scale,
+                       cur, pos, live, cfg, n_steps, interpret, kv_stream)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "mesh", "interpret", "kv_stream"),
+    donate_argnums=(1, 2, 3, 4),
+)
+def _decode_round_dp(dec_params, k_cache, v_cache, k_scale, v_scale,
+                     cur, pos, live, cfg, n_steps, mesh,
+                     interpret=False, kv_stream=False):
+    """dp-sharded decode round: the slot pool's batch axis splits over
+    the mesh's 'dp' axis via shard_map — each chip runs the SAME chunked
+    megakernel loop on its local pool shard with the replicated weight
+    stream, zero collectives (decode is communication-free across
+    sequences). The pool size must divide dp; weights enter P()
+    (replicated). check_vma off: the kernel's manual DMAs carry no
+    varying-manual-axes info (same setting as parallel/mesh.py's
+    dp megakernel)."""
+    from jax.sharding import PartitionSpec as P
+
+    f = functools.partial(_round_impl, cfg=cfg, n_steps=n_steps,
+                          interpret=interpret, kv_stream=kv_stream)
+    return jax.shard_map(
+        lambda dec, kq, vq, ks, vs, c, p, lv: f(dec, kq, vq, ks, vs,
+                                                c, p, lv),
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                  P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"),) * 8,
+        check_vma=False,
+    )(dec_params, k_cache, v_cache, k_scale, v_scale, cur, pos, live)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -163,7 +203,8 @@ class ContinuousEngine:
     def __init__(self, asr, pool: int = 8, round_tokens: int = 64,
                  max_tokens: int = 1024, prompt_bucket: int = 128,
                  mel_bucket: int = 800, s_pool: int | None = None,
-                 kv_stream: bool = False, interpret: bool = False):
+                 kv_stream: bool = False, interpret: bool = False,
+                 mesh=None):
         dec = asr.params["decoder"]
         if "mega" not in dec:
             raise ValueError("continuous engine needs the packed decode "
@@ -189,6 +230,30 @@ class ContinuousEngine:
         self.mel_bucket = int(mel_bucket)
         self.kv_stream = bool(kv_stream)
         self.interpret = bool(interpret)
+        # mesh: dp-shard the slot pool over a pure-dp jax.sharding.Mesh —
+        # each chip decodes its local pool shard through the batched
+        # megakernel under shard_map (zero collectives; weights
+        # replicated). Bookkeeping/admission stay host-side and global.
+        self.mesh = mesh
+        if mesh is not None:
+            if mesh.shape.get("tp", 1) != 1:
+                raise ValueError("engine mesh must be pure-dp (tp == 1): "
+                                 "the batched kernel's DMA ring has no "
+                                 "cross-chip story")
+            dp = mesh.shape.get("dp", 1)
+            if self.pool % dp:
+                raise ValueError(f"pool {self.pool} must divide the mesh's "
+                                 f"dp={dp} (equal local pool shards)")
+        # the engine's view of the decoder weights: replicated over the
+        # mesh when dp-sharded (shard_map wants every operand on the
+        # mesh's device set; prefill then also runs mesh-wide), otherwise
+        # the pipeline's own (single-device) tree
+        self._dec = asr.params["decoder"]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+            self._dec = jax.device_put(self._dec,
+                                       NamedSharding(mesh, Ps()))
         align = KV_BLOCK if self.kv_stream else 128
         if self.kv_stream:
             # streamed-KV pool: VMEM is O(1) in context (the kernel folds
@@ -247,6 +312,14 @@ class ContinuousEngine:
         else:
             self._ks = jnp.zeros((B, L, NKV, S), jnp.float32)
             self._vs = jnp.zeros((B, L, NKV, S), jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, P(*(("dp",) + (None,) *
+                                                (a.ndim - 1)))))
+            self._kq, self._vq = shard(self._kq), shard(self._vq)
+            self._ks, self._vs = shard(self._ks), shard(self._vs)
 
     # -- capacity ---------------------------------------------------------
 
@@ -311,17 +384,34 @@ class ContinuousEngine:
             audio_pad = audio_pad.at[j, :rows].set(
                 f[0][:rows].astype(self.asr.dtype))
 
+        toks_d, n_prompt_d, audio_d, n_audio_d = (
+            jnp.asarray(toks), jnp.asarray(n_prompt), audio_pad,
+            jnp.asarray(n_audio))
+        if self.mesh is not None:
+            # a dp-sharded pool runs admission mesh-wide too: replicate
+            # the prefill inputs so every operand shares the mesh's
+            # device set (admission is rare and the newcomer count
+            # small — replication cost is negligible vs decode rounds)
+            from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+            rep = NamedSharding(self.mesh, Ps())
+            toks_d, n_prompt_d, audio_d, n_audio_d = (
+                jax.device_put(x, rep)
+                for x in (toks_d, n_prompt_d, audio_d, n_audio_d))
         first, kq, vq, ks, vs = _prefill_slab(
-            self.asr.params["decoder"], dcfg, jnp.asarray(toks),
-            jnp.asarray(n_prompt), audio_pad, jnp.asarray(n_audio),
+            self._dec, dcfg, toks_d, n_prompt_d, audio_d, n_audio_d,
             offset, self.S, kv_stream=self.kv_stream)
         first = np.asarray(first)
 
         idx = np.asarray(free[:b_real], np.int32)
+        idx_d = jnp.asarray(idx)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+            idx_d = jax.device_put(idx_d, NamedSharding(self.mesh, Ps()))
         self._kq, self._vq, self._ks, self._vs = _insert_slots(
             self._kq, self._vq, self._ks, self._vs,
-            kq[:b_real], vq[:b_real], ks[:b_real], vs[:b_real],
-            jnp.asarray(idx))
+            kq[:b_real], vq[:b_real], ks[:b_real], vs[:b_real], idx_d)
         now = time.perf_counter()
         for j, ticket in enumerate(tickets):
             slot = int(idx[j])
@@ -347,13 +437,24 @@ class ContinuousEngine:
             [s is not None and not s.finished for s in self._slots])
         done: list = []
         if live_mask.any():
-            out, cur, pos, _, self._kq, self._vq, self._ks, self._vs = (
-                _decode_round(
-                    self.asr.params["decoder"], self._kq, self._vq,
-                    self._ks, self._vs, jnp.asarray(self._cur),
-                    jnp.asarray(self._pos), jnp.asarray(live_mask),
-                    self.dcfg, self.round_tokens,
-                    interpret=self.interpret, kv_stream=self.kv_stream))
+            if self.mesh is not None:
+                out, cur, pos, _, self._kq, self._vq, self._ks, self._vs = (
+                    _decode_round_dp(
+                        self._dec, self._kq, self._vq,
+                        self._ks, self._vs, jnp.asarray(self._cur),
+                        jnp.asarray(self._pos), jnp.asarray(live_mask),
+                        self.dcfg, self.round_tokens, self.mesh,
+                        interpret=self.interpret,
+                        kv_stream=self.kv_stream))
+            else:
+                out, cur, pos, _, self._kq, self._vq, self._ks, self._vs = (
+                    _decode_round(
+                        self._dec, self._kq, self._vq,
+                        self._ks, self._vs, jnp.asarray(self._cur),
+                        jnp.asarray(self._pos), jnp.asarray(live_mask),
+                        self.dcfg, self.round_tokens,
+                        interpret=self.interpret,
+                        kv_stream=self.kv_stream))
             out, cur, pos = jax.device_get((out, cur, pos))
             # device_get hands back read-only views; admission writes
             # per-slot entries, so keep mutable host copies

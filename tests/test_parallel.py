@@ -313,3 +313,51 @@ def test_batched_mega_long_context_takes_stream(setup, monkeypatch):
         cache_dtype=jnp.int8)
     np.testing.assert_array_equal(np.asarray(nk_g), np.asarray(nk_x))
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_x))
+
+
+def test_dp_engine_matches_single_device():
+    """ContinuousEngine(mesh=pure-dp): the dp-sharded decode round
+    (shard_map over the slot pool) must reproduce the single-device
+    engine's tokens for the same admissions."""
+    from qwen3_asr_tpu.pipeline.asr import Qwen3ASR
+    from qwen3_asr_tpu.pipeline.engine import ContinuousEngine
+    from qwen3_asr_tpu.parallel.mesh import make_mesh
+
+    from helpers import make_byte_vocab
+
+    cfg = tiny_asr_config()
+    asr = Qwen3ASR(dtype=jnp.bfloat16, quantize="int8pc", kv_int8=True)
+    asr.load_random(cfg, seed=7,
+                    vocab=make_byte_vocab(cfg.decoder.vocab_size, {}))
+    assert "mega" in asr.params["decoder"]
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000
+    audios = [
+        (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        for f in (220, 440, 660, 880)
+    ]
+
+    def run(mesh):
+        eng = ContinuousEngine(asr, pool=4, round_tokens=2, max_tokens=5,
+                               prompt_bucket=32, mel_bucket=200,
+                               s_pool=128, interpret=True, mesh=mesh)
+        eng.admit(list(range(4)), audios)
+        done = {}
+        for _ in range(16):
+            for ticket, res in eng.run_round():
+                done[ticket] = res.tokens
+            if len(done) == 4:
+                break
+        assert len(done) == 4
+        return [done[i] for i in range(4)]
+
+    single = run(None)
+    dp = run(make_mesh(4, tp=1))
+    assert dp == single
+
+    # pool must divide dp
+    with pytest.raises(ValueError, match="divide"):
+        ContinuousEngine(asr, pool=3, round_tokens=2, max_tokens=5,
+                         prompt_bucket=32, mel_bucket=200, s_pool=128,
+                         interpret=True, mesh=make_mesh(2, tp=1))
