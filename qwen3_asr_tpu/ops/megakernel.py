@@ -941,6 +941,19 @@ def _mega_kernel(
 # ceiling by AOT-compiling larger S (raise this once it reports).
 _VMEM_BUDGET = 16_100_000
 
+# Mosaic's stack allocation for the QUANTIZED-KV attention modes (f32
+# dequant temporaries + scale tiles) runs ~1 MB past the estimator, so
+# they plan against a reduced budget. Calibrated on chip (r5,
+# scripts/probe_vmem_limit.py + bisection, AOT compiles of the real
+# kernels): int8-KV resident compiles at S=3328 (est 14.92 MB) and
+# refuses at S=3584 (est 15.46 MB) — the old shared budget admitted up
+# to S=3840, a compile crash waiting for a 210+ s utterance — while the
+# bf16 mode holds the 16.1 MB line (S=1920 est 16.21 ok, S=2048 est
+# 16.74 fail). The int4 weight ring also holds it (10-deep est 16.07
+# ok; 11-deep est 17.18 compiled but measured slower; 12-deep est 18.3
+# refused — scripts/sweep_mega_r5.py).
+_VMEM_BUDGET_KV_QUANT = 15_000_000
+
 
 def _ring_slot_bytes(mega: dict, cfg: DecoderConfig) -> int:
     """VMEM bytes of ONE weight-ring slot (int8 tile + its 8-row f32
@@ -997,7 +1010,7 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
     The resident mode keeps the WHOLE per-layer K/V slab in VMEM
     ([S, DKV] each, int8 or bf16, halved again when nibble-packed) plus
     the weight/scale rings — so its VMEM footprint grows linearly in S
-    and overflows for long audio (3,584 rows at 0.6B hparams with int8
+    and overflows for long audio (3,328 rows at 0.6B hparams with int8
     KV under the calibrated budget ≈ 215 s + generated tokens). Past it,
     single-sequence callers switch the SAME kernel to streamed-KV mode
     (`kv_stream=True`, VMEM O(1) in S) rather than leaving the
@@ -1016,9 +1029,13 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
         + H * 4 + H * 2                   # h_dbg + x
     )
     per_row = 2 * DKV * kv_bytes // (2 if kv_i4 else 1)  # kbuf + vbuf
+    budget = _VMEM_BUDGET
     if kv_i8 or kv_i4:
         per_row += 2 * NKV * 4            # ks/vs bufs, lane dim = S
-    s_max = (_VMEM_BUDGET - fixed) // per_row
+        # calibrated reduction (see the constant); min() keeps a
+        # caller-shrunk _VMEM_BUDGET (tests) authoritative
+        budget = min(_VMEM_BUDGET, _VMEM_BUDGET_KV_QUANT)
+    s_max = (budget - fixed) // per_row
     return max(0, int(s_max) // 128 * 128)
 
 

@@ -230,8 +230,10 @@ class ASRServer:
         """Enqueue a STREAMING transcription: returns a queue of events
         `("delta", text)` as tokens decode, then one `("done", result)`
         (result.text already prefix-stripped) or `("error", msg)`.
-        Streaming requests run alone (one dispatch per token chunk, not
-        batchable), on the same single worker thread as everything else."""
+        In continuous mode, pool-eligible streams ride the slot pool
+        (deltas per decode round, batched with other traffic); otherwise
+        they run alone (one dispatch per token chunk), on the same
+        single worker thread as everything else."""
         q: queue.Queue = queue.Queue()
         self._queue.put(_Request(np.asarray(samples), Future(), stream_q=q))
         return q
