@@ -422,9 +422,12 @@ def _mega_kernel(
     # outputs
     tok_out,            # SMEM [1, 1] int32
     h_out,              # VMEM [1, H] f32 (pre-norm hidden, for debugging)
-    fresh_k, fresh_v,   # VMEM [L, 8, DKV] — row 0 of each 8-block holds
-                        # the layer's fresh K/V (caller scatters into the
-                        # cache; Mosaic can't DMA 1-row HBM slices)
+    fresh_k, fresh_v,   # kv_wb: ANY [L, S, DKV] — the ALIASED caches
+                        # themselves; the kernel merges the fresh row into
+                        # its 32-row block and DMAs it back in place.
+                        # otherwise: VMEM [L, 8, DKV] — row 0 of each
+                        # 8-block holds the layer's fresh K/V (caller
+                        # scatters; Mosaic can't DMA 1-row HBM slices)
     fresh_ks, fresh_vs,  # VMEM [L, 8, NKV] f32 — fresh-row scales (kv_i8)
     # scratch
     wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
@@ -432,9 +435,11 @@ def _mega_kernel(
     kbuf, vbuf,         # VMEM [S, DKV] bf16 or int8
     ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
     sems, ssems, kv_sems,
+    wb_k=None, wb_v=None,  # kv_wb: VMEM [2, 32, DKV] ping-pong blocks
+    wb_sems=None,          # kv_wb: DMA sems [2, 2] ([k/v, parity])
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
     kv_blocks, kv_i8: bool, kv_i4: bool, w4: bool, kv_stream: bool,
-    nbuf: int, la: int,
+    nbuf: int, la: int, kv_wb: bool = False,
 ):
     H = cfg.hidden_size
     NH, NKV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -829,22 +834,55 @@ def _mega_kernel(
                 attn_heads.append((o + p_fresh * v_all[h:h + 1, :]) / denom)
             attn = jnp.concatenate(attn_heads, axis=0).reshape(1, DQ)
 
-        # fresh K/V rows land in the aligned [L, 8, DKV] output; the caller
-        # scatters row 0 of each block into the cache at `pos`
+        # fresh K/V rows: quantize (kv_i8) or cast, then either write back
+        # to the HBM cache in-kernel (kv_wb — the caches are ALIASED
+        # outputs) or land in the [L, 8, DKV] output for the caller to
+        # scatter (Mosaic can't DMA 1-row HBM slices, so kv_wb merges the
+        # row into its 32-row-aligned block instead: slab rows < pos are
+        # this step's DMA'd cache, rows > pos are zeros, so the RMW block
+        # is free to rebuild from VMEM)
         if kv_i8:
             qmax = 7.0 if kv_i4 else 127.0
-            for name, rows_f32, out_q, out_s in (
-                ("k", k_all, fresh_k, fresh_ks),
-                ("v", v_all, fresh_v, fresh_vs),
-            ):
+            rows_q, rows_s = [], []
+            for rows_f32 in (k_all, v_all):
                 amax = jnp.max(jnp.abs(rows_f32), axis=1, keepdims=True)
                 s = jnp.maximum(amax / qmax, 1e-12)          # [NKV, 1]
                 q8 = jnp.clip(jnp.round(rows_f32 / s), -qmax, qmax)
-                out_q[l, 0:1, :] = q8.astype(jnp.int8).reshape(1, DKV)
-                out_s[l, 0:1, :] = s.reshape(1, NKV)
+                rows_q.append(q8.astype(jnp.int8).reshape(1, DKV))
+                rows_s.append(s.reshape(1, NKV))
+            fresh_ks[l, 0:1, :] = rows_s[0]
+            fresh_vs[l, 0:1, :] = rows_s[1]
         else:
-            fresh_k[l, 0:1, :] = k_all.reshape(1, DKV).astype(fresh_k.dtype)
-            fresh_v[l, 0:1, :] = v_all.reshape(1, DKV).astype(fresh_v.dtype)
+            rows_q = [k_all.reshape(1, DKV).astype(kbuf.dtype),
+                      v_all.reshape(1, DKV).astype(vbuf.dtype)]
+        if kv_wb:
+            # ping-pong fence: the buffer pair written at layer l-2 must
+            # have left the chip before this layer reuses it
+            par = jax.lax.rem(l, 2)
+            r0 = (pos // 32) * 32
+            off = pos - r0
+
+            @pl.when(l >= 2)
+            def _():
+                for w, out in ((0, fresh_k), (1, fresh_v)):
+                    wb = wb_k if w == 0 else wb_v
+                    pltpu.make_async_copy(
+                        wb.at[par], out.at[l - 2, pl.ds(r0, 32), :],
+                        wb_sems.at[w, par]).wait()
+
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (32, DKV), 0)
+                   == off)
+            for w, (out, slab, wb) in enumerate(
+                    ((fresh_k, kbuf, wb_k), (fresh_v, vbuf, wb_v))):
+                blk = slab[pl.ds(r0, 32), :]        # 32-aligned slab block
+                wb[par] = jnp.where(sel, jnp.broadcast_to(
+                    rows_q[w], (32, DKV)).astype(blk.dtype), blk)
+                pltpu.make_async_copy(
+                    wb.at[par], out.at[l, pl.ds(r0, 32), :],
+                    wb_sems.at[w, par]).start()
+        else:
+            fresh_k[l, 0:1, :] = rows_q[0]
+            fresh_v[l, 0:1, :] = rows_q[1]
 
         # --- output projection + residual (casts mirror the XLA path:
         # matmul results drop to bf16, residual adds run in bf16)
@@ -880,6 +918,18 @@ def _mega_kernel(
 
     x = jax.lax.fori_loop(0, L, layer, x_ref[:], unroll=False)
     h_out[:] = x.astype(jnp.float32)
+
+    if kv_wb:
+        # drain the last layers' cache writebacks (issued mid-layer, long
+        # done by now — the wd/head stream ran since)
+        r0 = (pos // 32) * 32
+        for l_last in range(max(L - 2, 0), L):
+            par = l_last % 2
+            for w, out in ((0, fresh_k), (1, fresh_v)):
+                wb = wb_k if w == 0 else wb_v
+                pltpu.make_async_copy(
+                    wb.at[par], out.at[l_last, pl.ds(r0, 32), :],
+                    wb_sems.at[w, par]).wait()
 
     # ---- final norm + lm head + argmax ------------------------------------
     xf = _rms_f32(x, out_norm[0:1, :], eps).astype(jnp.bfloat16)
@@ -1026,6 +1076,7 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
         _mega_fixed_common(mega, cfg)     # weight/scale rings + norms
         + 2 * L * 8 * DKV * kv_bytes      # fresh K/V outputs
         + 2 * L * 8 * NKV * 4             # fresh scales
+        + 2 * 2 * 32 * DKV * kv_bytes     # kv_wb ping-pong blocks
         + H * 4 + H * 2                   # h_dbg + x
     )
     per_row = 2 * DKV * kv_bytes // (2 if kv_i4 else 1)  # kbuf + vbuf
@@ -1054,10 +1105,18 @@ def _mega_call(
     kv_i4: bool = False,
     kv_stream: bool = False,
 ):
-    """Shared pallas_call builder. The kernel emits the fresh per-layer K/V
-    rows (+ scales in int8 mode) and the caller scatters them into the
-    caches at row `pos` (fused in-place dynamic_update_slice — Mosaic
-    can't DMA single unaligned HBM rows).
+    """Shared pallas_call builder. Fresh per-layer K/V rows: in the
+    resident modes (kv_wb) the caches are ALIASED outputs and the kernel
+    writes the fresh row's 32-row-aligned block back to HBM itself; the
+    streamed / int4-packed modes emit the rows (+ scales in int8 mode)
+    for the caller to scatter at row `pos` (fused in-place
+    dynamic_update_slice — Mosaic can't DMA single unaligned HBM rows).
+
+    kv_wb dead-row contract: cache rows > pos are UNSPECIFIED — the
+    writeback block may zero dead rows (when pos sits on a KV_BLOCK
+    boundary the slab block was never DMA'd in). Dead rows are never
+    read (attention gates on col < pos) and every row is freshly
+    written by its own step before becoming live.
 
     kv_i4: caches are nibble-packed int4 — [L, S/2, DKV] int8 bytes, byte
     row r = rows (2r lo-nibble, 2r+1 hi-nibble), scales still [L, NKV, S]
@@ -1132,6 +1191,7 @@ def _mega_call(
                     + L * 8 * H * 4 + H * 4        # norms + out_norm
                     + 2 * L * 8 * DKV * kv_bytes   # fresh K/V outputs
                     + 2 * L * 8 * NKV * 4          # fresh scales
+                    + 2 * 2 * 32 * DKV * kv_bytes  # kv_wb ping-pong blocks
                     + H * 4 + H * 2)               # h_dbg + x
         nbuf, la = _int4_ring_depth(_ring_slot_bytes(mega, cfg), resident)
         # lookahead may span at most ONE layer boundary: start(j + la)
@@ -1175,6 +1235,36 @@ def _mega_call(
                     if kv_stream else (Sp, DKV))
     kv_sem_shape = (4, KVSLOTS if kv_stream else len(kv_blocks))
 
+    # in-kernel cache writeback (resident modes): the caches become
+    # ALIASED outputs and the kernel DMAs the fresh row's 32-row block
+    # back itself, replacing the caller's k/v dynamic_update_slice glue
+    # (~9 us/step on the decode critical path, VERDICT r5 profile). The
+    # streamed/int4-packed modes keep the caller-side scatter (no
+    # resident slab to rebuild the block from).
+    kv_wb = (not kv_stream) and (not kv_i4) and S % 32 == 0 and S >= 32
+    kernel = functools.partial(kernel, kv_wb=kv_wb)
+
+    if kv_wb:
+        fresh_kv_specs = [any_, any_]
+        fresh_kv_shapes = [
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ]
+        wb_scratch = [
+            pltpu.VMEM((2, 32, DKV), k_cache.dtype),        # wb_k
+            pltpu.VMEM((2, 32, DKV), v_cache.dtype),        # wb_v
+            pltpu.SemaphoreType.DMA((2, 2)),                # wb sems
+        ]
+        aliases = {14: 2, 15: 3}  # k_cache -> k_out, v_cache -> v_out
+    else:
+        fresh_kv_specs = [vmem, vmem]
+        fresh_kv_shapes = [
+            jax.ShapeDtypeStruct((L, 8, DKV), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, 8, DKV), v_cache.dtype),
+        ]
+        wb_scratch = []
+        aliases = {}
+
     tok, h_dbg, fresh_k, fresh_v, fresh_ks, fresh_vs = pl.pallas_call(
         kernel,
         grid=(),
@@ -1188,12 +1278,11 @@ def _mega_call(
             any_, any_,                              # k/v cache scales
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                   vmem, vmem, vmem, vmem, vmem],
+                   vmem, *fresh_kv_specs, vmem, vmem],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, 8, DKV), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, 8, DKV), v_cache.dtype),
+            *fresh_kv_shapes,
             jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
             jax.ShapeDtypeStruct((L, 8, NKV), jnp.float32),
         ],
@@ -1207,7 +1296,9 @@ def _mega_call(
             pltpu.SemaphoreType.DMA((nbuf,)),               # weight sems
             pltpu.SemaphoreType.DMA((nbuf,)),               # scale sems
             pltpu.SemaphoreType.DMA(kv_sem_shape),          # k/v sems
+            *wb_scratch,
         ],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
@@ -1221,7 +1312,10 @@ def _mega_call(
         k_cache, v_cache, ks_in, vs_in,
     )
     p = jnp.asarray(pos, jnp.int32)
-    if kv_i4:
+    if kv_wb:
+        # the kernel already wrote the fresh rows into the aliased caches
+        k_cache, v_cache = fresh_k, fresh_v
+    elif kv_i4:
         # merge the fresh int4 row into its packed byte row: even `pos` is
         # the low nibble, odd the high (the _pack_nibbles / pltpu.bitcast
         # interleaved-lo-first order)

