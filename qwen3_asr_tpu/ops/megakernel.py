@@ -261,6 +261,35 @@ def _dequant_i8pc(leaf: dict) -> np.ndarray:
                                         jnp.asarray(leaf["i8pc:s"])))
 
 
+def _scale_layout(shapes: dict, w4: bool):
+    """Row layout of the consolidated per-layer scale block `lsc`
+    ([L, RP, co_w] f32): each matmul's (oi, group) scale rows pack
+    DENSELY instead of one 8-row tile-aligned block per oi — the 8-row
+    padding was ~60% of the scale stream's bytes (the single-seq kernel
+    fetches ONE block per layer instead of one per oi). Returns
+    ({mat: (row0, n_g)}, RP, co_w); row of (oi, g) = row0 + oi*n_g + g."""
+    off = {}
+    r = 0
+    co_w = 0
+    for mat in ("qkv", "wo", "gu", "wd"):
+        n_oc, n_in, co = shapes[mat]
+        n_g = (n_in // _int4_group_for(n_in)) if w4 else 1
+        off[mat] = (r, n_g)
+        r += n_oc * n_g
+        co_w = max(co_w, co)
+    return off, -(-r // 8) * 8, co_w
+
+
+def _head_scale_layout(n_hc: int, n_in: int, w4: bool):
+    """(hp, NB_H, n_gh) for the consolidated head scale pack `hsc`
+    ([NB_H, 8, co_h] f32): hp head chunks share one 8-row block (their
+    n_gh group-scale rows stack at sub*n_gh), cutting the head scale
+    stream by hp x."""
+    n_gh = (n_in // _int4_group_for(n_in)) if w4 else 1
+    hp = 8 // n_gh
+    return hp, -(-n_hc // hp), n_gh
+
+
 def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
                            int4: bool = False) -> dict:
     """Build the megakernel weight pack from a FUSED + int8pc decoder tree
@@ -296,11 +325,13 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
         return c
 
     pack = {}
+    shapes = {}
     for name, key in (("qkv", "wqkv"), ("wo", "wo"),
                       ("gu", "w_gate_up"), ("wd", "w_down")):
         leaf = layers[key]
-        n_out = leaf["i8pc:q"].shape[-1]
+        n_in, n_out = leaf["i8pc:q"].shape[-2:]
         co = co_for(n_out)
+        shapes[name] = (n_out // co, n_in, co)
         if int4:
             w = _dequant_i8pc(leaf)
             qs, ss = zip(*(_pack_tiles_i4(w[l], co)
@@ -353,6 +384,25 @@ def pack_megakernel_params(dec_params: dict, cfg: DecoderConfig,
     pack["norms"] = jnp.asarray(norms)
     pack["out_norm"] = jnp.asarray(
         np.asarray(dec_params["output_norm"], np.float32).reshape(1, H))
+
+    # consolidated scale packs (single-seq kernel; the batched kernel
+    # keeps the per-oi 8-row blocks): same f32 values, dense row layout
+    offs, RP, co_w = _scale_layout(shapes, int4)
+    lsc = np.zeros((L, RP, co_w), np.float32)
+    for name in ("qkv", "wo", "gu", "wd"):
+        s = np.asarray(pack[f"{name}_s"])          # [L, n_oc, 8, co]
+        r0, n_g = offs[name]
+        for oi in range(s.shape[1]):
+            lsc[:, r0 + oi * n_g:r0 + (oi + 1) * n_g, :s.shape[3]] = \
+                s[:, oi, :n_g, :]
+    pack["lsc"] = jnp.asarray(lsc)
+    hs8v = np.asarray(pack["head_s"])              # [n_hc, 8, co_h]
+    hp, nbh, n_gh = _head_scale_layout(hs8v.shape[0], H, int4)
+    hsc = np.zeros((nbh, 8, hs8v.shape[2]), np.float32)
+    for hi in range(hs8v.shape[0]):
+        b, sub = divmod(hi, hp)
+        hsc[b, sub * n_gh:(sub + 1) * n_gh, :] = hs8v[hi, :n_gh, :]
+    pack["hsc"] = jnp.asarray(hsc)
     return pack
 
 
@@ -414,7 +464,10 @@ def _mega_kernel(
     norms,              # VMEM [L, 8, H] f32: rows 0-3 = attn/ffn/q/k norms
     out_norm,           # VMEM [1, H] f32
     qkv_q, wo_q, gu_q, wd_q, head_q,       # ANY (HBM) int8 tile packs
-    qkv_s, wo_s, gu_s, wd_s, head_s,       # ANY (HBM) scale packs
+    lsc_h,              # ANY (HBM) [L, RP, co_w] f32 consolidated layer
+                        # scales (_scale_layout rows)
+    hsc_h,              # ANY (HBM) [NB_H, 8, co_h] f32 head scale blocks
+                        # (hp chunks per block, _head_scale_layout)
     k_in, v_in,                            # ANY (HBM) caches [L, S, DKV]
     ks_in, vs_in,       # ANY (HBM) [L, NKV, S] f32 per-(row, head) cache
                         # scales, transposed so the 128-tiled lane dim is S
@@ -431,10 +484,11 @@ def _mega_kernel(
     fresh_ks, fresh_vs,  # VMEM [L, 8, NKV] f32 — fresh-row scales (kv_i8)
     # scratch
     wbufs,              # VMEM [NBUF, CHUNK_IN, co_max] int8
-    sbufs,              # VMEM [NBUF, 8, co_max] f32 (per-chunk scale rows)
+    lbuf,               # VMEM [2, RP, co_w] f32: layer-scale ping-pong
+    hbuf,               # VMEM [2, 8, co_h] f32: head-scale double buffer
     kbuf, vbuf,         # VMEM [S, DKV] bf16 or int8
     ksbuf, vsbuf,       # VMEM [NKV, S] f32 (kv_i8; dummies otherwise)
-    sems, ssems, kv_sems,
+    sems, lsems, hsems, kv_sems,
     wb_k=None, wb_v=None,  # kv_wb: VMEM [2, 32, DKV] ping-pong blocks
     wb_sems=None,          # kv_wb: DMA sems [2, 2] ([k/v, parity])
     *, cfg: DecoderConfig, S: int, sched, shapes, n_hc, co_h, V, L,
@@ -451,7 +505,8 @@ def _mega_kernel(
     pos = pos_ref[0]
 
     hbm = {"qkv": qkv_q, "wo": wo_q, "gu": gu_q, "wd": wd_q}
-    hbm_s = {"qkv": qkv_s, "wo": wo_s, "gu": gu_s, "wd": wd_s}
+    sc_off, _, _ = _scale_layout(shapes, w4)
+    hp, nbh, n_gh = _head_scale_layout(n_hc, H, w4)
 
     # Ring slots are numbered by the GLOBAL chunk position g = l*n_sched + j
     # (continuing into the lm-head stream after the last layer) so the slot
@@ -468,13 +523,12 @@ def _mega_kernel(
         return pltpu.make_async_copy(
             src, wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co)], sems.at[slot])
 
-    def scale_dma(entry, l, slot):
-        mat, oi, ii, ci, co = entry
-        # scale packs are [L, n_oc, 8, co]: a full 8-row block per oi keeps
-        # the HBM slice tile-aligned (row 0 holds the scales)
+    def lsc_dma(l, par):
+        """One consolidated scale block covers a WHOLE layer's matmuls
+        (dense _scale_layout rows) — one [RP, co_w] DMA per layer into a
+        ping-pong buffer instead of one padded 8-row block per oi."""
         return pltpu.make_async_copy(
-            hbm_s[mat].at[l, oi],
-            sbufs.at[slot, :, pl.ds(0, co)], ssems.at[slot])
+            lsc_h.at[l], lbuf.at[par], lsems.at[par])
 
     def head_dma(hi, slot):
         rows = H // 2 if w4 else H
@@ -482,10 +536,11 @@ def _mega_kernel(
             head_q.at[hi], wbufs.at[slot, pl.ds(0, rows), pl.ds(0, co_h)],
             sems.at[slot])
 
-    def head_scale_dma(hi, slot):
+    def hsc_dma(b):
+        """Head scale block b (hp head chunks per block), double-buffered
+        by block parity."""
         return pltpu.make_async_copy(
-            head_s.at[hi], sbufs.at[slot, :, pl.ds(0, co_h)],
-            ssems.at[slot])
+            hsc_h.at[b], hbuf.at[b % 2], hsems.at[b % 2])
 
     def start(j, l):
         """Issue the DMA(s) for layer-local schedule position j (static;
@@ -494,22 +549,17 @@ def _mega_kernel(
         slot = (l * n_sched + j) % nbuf
         if j < n_sched:
             chunk_dma(sched[j], l, slot).start()
-            if sched[j][2] == 0:  # first in-chunk carries the oi's scales
-                scale_dma(sched[j], l, slot).start()
         else:
             wrapped = j - n_sched
 
             @pl.when(l + 1 < L)
             def _():
                 chunk_dma(sched[wrapped], l + 1, slot).start()
-                if sched[wrapped][2] == 0:
-                    scale_dma(sched[wrapped], l + 1, slot).start()
 
             if wrapped < n_hc:
                 @pl.when(l + 1 == L)
                 def _():
                     head_dma(wrapped, slot).start()
-                    head_scale_dma(wrapped, slot).start()
 
     # KV streaming is block-gated on `pos`: only KV_BLOCK-row blocks whose
     # start row is below the live context length move over HBM.
@@ -594,7 +644,8 @@ def _mega_kernel(
                     for w in range(len(kv_streams)):
                         kv_copy(l, w, b).wait()
 
-    # ---- warmup: first `la` chunks of layer 0 + layer 0's K/V -----------
+    # ---- warmup: first `la` chunks of layer 0 + layer 0's scales + K/V --
+    lsc_dma(0, 0).start()
     for j in range(min(la, n_sched)):
         start(j, 0)
     if kv_stream:
@@ -631,6 +682,8 @@ def _mega_kernel(
         in f32."""
         n_oc, n_in, co = shapes[mat]
         n_ic = -(-n_in // CHUNK_IN)
+        r0s, n_g = sc_off[mat]
+        par_s = jax.lax.rem(l, 2)
         outs = []
         j = j0
         for oi in range(n_oc):
@@ -642,11 +695,14 @@ def _mega_kernel(
                 slot = (l * n_sched + j) % nbuf
                 chunk_dma(entry, l, slot).wait()
                 if ii == 0:
-                    scale_dma(entry, l, slot).wait()
+                    # this layer's consolidated scale block was waited at
+                    # the top of layer(); rows of oi start at r0s + oi*n_g
                     if w4:
-                        s_blk = sbufs[slot, :, :co]    # [8, co] group scales
+                        s_blk = lbuf[par_s,
+                                     r0s + oi * n_g:r0s + (oi + 1) * n_g,
+                                     :co]              # [n_g, co] f32
                     else:
-                        s_row = sbufs[slot, 0:1, :co]  # [1, co] f32
+                        s_row = lbuf[par_s, r0s + oi:r0s + oi + 1, :co]
                 start(j + la, l)
                 ci = entry[3]
                 if w4:
@@ -685,6 +741,26 @@ def _mega_kernel(
 
     # ---- layers ----------------------------------------------------------
     def layer(l, x_bf16):
+        # consolidated layer scales: wait for this layer's block (fetched
+        # a full layer ahead — warmup for l=0), then immediately prefetch
+        # layer l+1's into the other ping-pong buffer (free: l-1 is done
+        # with it) so the wait here never blocks
+        par_s = jax.lax.rem(l, 2)
+        lsc_dma(l, par_s).wait()
+
+        @pl.when(l + 1 < L)
+        def _():
+            lsc_dma(l + 1, 1 - par_s).start()
+
+        if n_hc:
+            @pl.when(l + 1 == L)
+            def _():
+                # head scale blocks 0 (and 1) start while the last layer
+                # streams — the head loop's first waits find them done
+                hsc_dma(0).start()
+                if nbh > 1:
+                    hsc_dma(1).start()
+
         xf = _rms_f32(x_bf16, norms[l, 0:1, :], eps).astype(jnp.bfloat16)
         xq, sx = _quant_row(xf.astype(jnp.float32))
         qkv_f32, j = stream_matmul(l, "qkv", xq, sx, 0)
@@ -940,15 +1016,16 @@ def _mega_kernel(
     for hi in range(n_hc):
         slot = (L * n_sched + hi) % nbuf
         head_dma(hi, slot).wait()
-        head_scale_dma(hi, slot).wait()
+        b, sub = divmod(hi, hp)
+        if sub == 0:
+            hsc_dma(b).wait()  # blocks 0/1 in flight since the last layer
         if w4:
-            s_blk = sbufs[slot, :, :co_h]
+            s_blk = hbuf[b % 2, sub * n_gh:(sub + 1) * n_gh, :co_h]
         else:
-            s_row = sbufs[slot, 0:1, :co_h]
+            s_row = hbuf[b % 2, sub:sub + 1, :co_h]
         if hi + la < n_hc:
             slot_n = (L * n_sched + hi + la) % nbuf
             head_dma(hi + la, slot_n).start()
-            head_scale_dma(hi + la, slot_n).start()
         if w4:
             gsz = _int4_group_for(H)
             w8 = pltpu.bitcast(
@@ -975,6 +1052,9 @@ def _mega_kernel(
         idx = jnp.min(jnp.where(logits >= m, cols, jnp.int32(2**30)))
         best_idx = jnp.where(m > best_val, idx.astype(jnp.int32), best_idx)
         best_val = jnp.maximum(m, best_val)
+        if (sub == hp - 1 or hi == n_hc - 1) and b + 2 < nbh:
+            # this block's scale rows are all consumed — reuse its buffer
+            hsc_dma(b + 2).start()
     tok_out[0, 0] = best_idx
 
 
@@ -1005,9 +1085,12 @@ _VMEM_BUDGET = 16_100_000
 _VMEM_BUDGET_KV_QUANT = 15_000_000
 
 
-def _ring_slot_bytes(mega: dict, cfg: DecoderConfig) -> int:
-    """VMEM bytes of ONE weight-ring slot (int8 tile + its 8-row f32
-    scale block), sized by the largest scheduled chunk."""
+def _ring_slot_bytes(mega: dict, cfg: DecoderConfig,
+                     with_scales: bool = True) -> int:
+    """VMEM bytes of ONE weight-ring slot, sized by the largest scheduled
+    chunk. with_scales adds the per-slot 8-row f32 scale block — the
+    BATCHED kernel's layout; the single-seq kernel's scales ride the
+    consolidated lbuf/hbuf ping-pong instead (_scale_buf_bytes)."""
     H = cfg.hidden_size
     w4 = mega["qkv_q"].shape[2] == H // 2
     co_h = mega["head_q"].shape[2]
@@ -1017,7 +1100,16 @@ def _ring_slot_bytes(mega: dict, cfg: DecoderConfig) -> int:
                           mega[f"{m}_q"].shape[2] * (2 if w4 else 1))
                       for m in ("qkv", "wo", "gu", "wd")))
     buf_rows = ci_max // 2 if w4 else ci_max
-    return buf_rows * co_max + 8 * co_max * 4
+    return buf_rows * co_max + (8 * co_max * 4 if with_scales else 0)
+
+
+def _scale_buf_bytes(mega: dict) -> int:
+    """VMEM bytes of the single-seq kernel's consolidated scale buffers:
+    the [2, RP, co_w] layer ping-pong + the [2, 8, co_h] head double
+    buffer (shapes read off the packed lsc/hsc)."""
+    _, RP, co_w = mega["lsc"].shape
+    _, _, co_h = mega["hsc"].shape
+    return 2 * RP * co_w * 4 + 2 * 8 * co_h * 4
 
 
 def _int4_ring_depth(slot_bytes: int, resident_bytes: int) -> tuple[int,
@@ -1036,7 +1128,7 @@ def _int4_ring_depth(slot_bytes: int, resident_bytes: int) -> tuple[int,
 
 
 def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
-                       nbuf: int = NBUF) -> int:
+                       nbuf: int = NBUF, single_seq: bool = False) -> int:
     """VMEM bytes shared by the single-seq and batched megakernels that
     do not scale with context length or batch: the weight/scale DMA rings
     (sized by the largest scheduled chunk and the given ring depth) and
@@ -1047,6 +1139,11 @@ def _mega_fixed_common(mega: dict, cfg: DecoderConfig,
     given up, so the ceiling is set by the smallest ring."""
     H = cfg.hidden_size
     L = cfg.n_layers
+    if single_seq:
+        # weight-only ring + the consolidated scale ping-pong buffers
+        return (nbuf * _ring_slot_bytes(mega, cfg, with_scales=False)
+                + _scale_buf_bytes(mega)
+                + L * 8 * H * 4 + H * 4)    # norms + out_norm
     return (
         nbuf * _ring_slot_bytes(mega, cfg)  # weight + scale rings
         + L * 8 * H * 4 + H * 4             # norms + out_norm
@@ -1073,7 +1170,7 @@ def mega_max_context(mega: dict, cfg: DecoderConfig,
     L = cfg.n_layers
     kv_bytes = 1 if (kv_i8 or kv_i4) else 2
     fixed = (
-        _mega_fixed_common(mega, cfg)     # weight/scale rings + norms
+        _mega_fixed_common(mega, cfg, single_seq=True)  # ring+scales+norms
         + 2 * L * 8 * DKV * kv_bytes      # fresh K/V outputs
         + 2 * L * 8 * NKV * 4             # fresh scales
         + 2 * 2 * 32 * DKV * kv_bytes     # kv_wb ping-pong blocks
@@ -1189,11 +1286,13 @@ def _mega_call(
                       + (2 * NKV * S * 4 if (kv_i8 or kv_i4) else 0))
         resident = (kv_res
                     + L * 8 * H * 4 + H * 4        # norms + out_norm
+                    + _scale_buf_bytes(mega)       # lbuf + hbuf ping-pong
                     + 2 * L * 8 * DKV * kv_bytes   # fresh K/V outputs
                     + 2 * L * 8 * NKV * 4          # fresh scales
                     + 2 * 2 * 32 * DKV * kv_bytes  # kv_wb ping-pong blocks
                     + H * 4 + H * 2)               # h_dbg + x
-        nbuf, la = _int4_ring_depth(_ring_slot_bytes(mega, cfg), resident)
+        nbuf, la = _int4_ring_depth(
+            _ring_slot_bytes(mega, cfg, with_scales=False), resident)
         # lookahead may span at most ONE layer boundary: start(j + la)
         # resolves wrapped = j + la - n_sched against layer l+1's schedule,
         # so la > n_sched would index past it (tiny test configs have
@@ -1255,7 +1354,7 @@ def _mega_call(
             pltpu.VMEM((2, 32, DKV), v_cache.dtype),        # wb_v
             pltpu.SemaphoreType.DMA((2, 2)),                # wb sems
         ]
-        aliases = {14: 2, 15: 3}  # k_cache -> k_out, v_cache -> v_out
+        aliases = {11: 2, 12: 3}  # k_cache -> k_out, v_cache -> v_out
     else:
         fresh_kv_specs = [vmem, vmem]
         fresh_kv_shapes = [
@@ -1273,7 +1372,7 @@ def _mega_call(
             vmem,                                    # x
             vmem, vmem,                              # norms, out_norm
             any_, any_, any_, any_, any_,            # weight tile packs
-            any_, any_, any_, any_, any_,            # scale packs (HBM)
+            any_, any_,                              # lsc, hsc (HBM)
             any_, any_,                              # k/v caches
             any_, any_,                              # k/v cache scales
         ],
@@ -1288,13 +1387,17 @@ def _mega_call(
         ],
         scratch_shapes=[
             pltpu.VMEM((nbuf, buf_rows, co_max), jnp.int8),  # weight ring
-            pltpu.VMEM((nbuf, 8, co_max), jnp.float32),     # scale ring
+            pltpu.VMEM((2,) + mega["lsc"].shape[1:],
+                       jnp.float32),                        # layer scales
+            pltpu.VMEM((2, 8, mega["hsc"].shape[2]),
+                       jnp.float32),                        # head scales
             pltpu.VMEM(kv_buf_shape, k_cache.dtype),
             pltpu.VMEM(kv_buf_shape, v_cache.dtype),
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # k scales
             pltpu.VMEM(scale_buf_shape, jnp.float32),       # v scales
             pltpu.SemaphoreType.DMA((nbuf,)),               # weight sems
-            pltpu.SemaphoreType.DMA((nbuf,)),               # scale sems
+            pltpu.SemaphoreType.DMA((2,)),                  # lsc sems
+            pltpu.SemaphoreType.DMA((2,)),                  # hsc sems
             pltpu.SemaphoreType.DMA(kv_sem_shape),          # k/v sems
             *wb_scratch,
         ],
@@ -1307,8 +1410,7 @@ def _mega_call(
         mega["norms"], mega["out_norm"],
         mega["qkv_q"], mega["wo_q"], mega["gu_q"], mega["wd_q"],
         mega["head_q"],
-        mega["qkv_s"], mega["wo_s"], mega["gu_s"], mega["wd_s"],
-        mega["head_s"],
+        mega["lsc"], mega["hsc"],
         k_cache, v_cache, ks_in, vs_in,
     )
     p = jnp.asarray(pos, jnp.int32)
