@@ -122,8 +122,13 @@ def flash_attention_batch(
                                     scale=scale, interpret=interpret)
         return out[..., :D]
 
-    BLOCK_Q = min(256, max(8, T))
-    BLOCK_K = 512 if S >= 512 else 128
+    import os
+
+    # defaults measured on chip (92 s prefill, causal T=1280): (256, 512)
+    # with the causal/valid block skip; env knobs for geometry A/Bs
+    BLOCK_Q = min(int(os.environ.get("QWEN3_FLASH_BQ", "256")), max(8, T))
+    bk = int(os.environ.get("QWEN3_FLASH_BK", "512"))
+    BLOCK_K = bk if S >= bk else 128
 
     qh = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), -(-T // BLOCK_Q) * BLOCK_Q, 2)
     kh = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), -(-S // BLOCK_K) * BLOCK_K, 2)
